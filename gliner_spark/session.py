@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this pipeline.
+
+Local-mode testing stands in for the multi-executor cluster; the configs
+below are the ones that transfer (AQE, shuffle partitioning, Arrow batch
+sizing). On a real cluster the same builder is used by spark-submit with
+master/executor settings supplied externally.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "gliner_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 512,
+    extra: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # match parallelism, not the 200 default: avoids tiny-task overhead
+        # locally; on a cluster set ≈ 2-3× total cores (AQE coalesces down)
+        shuffle_partitions = max(cores, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ONNX/surrogate batch size inside mapInPandas: bounds padding
+        # waste and Python-worker peak memory
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(arrow_batch_rows),
+        )
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

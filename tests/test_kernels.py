@@ -1,0 +1,260 @@
+"""Mirror tests of the reference's gtest suite, Spark-free.
+
+Golden values copied from /root/reference/tests/test.cpp (tokenizer
+goldens :18-23 and :117-132; e2e golden :81-84 reproduced by injecting
+logits so sigmoid ≥ 0.9 exactly at the golden spans), plus property tests
+for decode/greedy invariants.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gliner_spark.config import GlinerConfig
+from gliner_spark.kernels.decode import (
+    decode_span_logits,
+    decode_token_logits,
+    enumerate_spans,
+    greedy_search,
+    sigmoid,
+)
+from gliner_spark.kernels.encode import encode_batch
+from gliner_spark.kernels.pipeline import ner_documents
+from gliner_spark.kernels.scorer import (
+    GOLDEN_LABELS,
+    SurrogateScorer,
+    logit_of,
+)
+from gliner_spark.kernels.tokenize import tokenize_text
+
+
+# --- reference golden: TestWhitespaceTokenSplitter (test.cpp:17-39) ---
+def test_splitter_golden_ascii():
+    assert tokenize_text("Hello world_this-is a_test!") == [
+        (0, 5, "Hello"),
+        (6, 19, "world_this-is"),
+        (20, 26, "a_test"),
+        (26, 27, "!"),
+    ]
+
+
+# --- reference golden: TestUnicodes (test.cpp:116-148) ---
+def test_splitter_golden_unicode_byte_offsets():
+    text = "你好 (Chinese), नमस्ते (Hindi), مرحبا (Arabic)"
+    assert tokenize_text(text) == [
+        (0, 6, "你好"),
+        (7, 8, "("),
+        (8, 15, "Chinese"),
+        (15, 16, ")"),
+        (16, 17, ","),
+        (18, 36, "नमस्ते"),
+        (37, 38, "("),
+        (38, 43, "Hindi"),
+        (43, 44, ")"),
+        (44, 45, ","),
+        (46, 56, "مرحبا"),
+        (57, 58, "("),
+        (58, 64, "Arabic"),
+        (64, 65, ")"),
+    ]
+
+
+# --- reference golden: TestProcessor smoke (test.cpp:41-68) ---
+def test_processor_smoke():
+    assert [t[2] for t in tokenize_text("Hello world")] == ["Hello", "world"]
+    assert [t[2] for t in tokenize_text("I love C++")] == [
+        "I", "love", "C", "+", "+",
+    ]
+
+
+# --- reference golden: TestModelInference (test.cpp:80-114) via injected
+# logits: the Kyiv sentence decoded with synthetic scores ≥0.9 at the two
+# golden spans exercises index arithmetic, offset mapping and greedy.
+def _kyiv_setup():
+    text = "Kyiv is the capital of Ukraine."
+    labels = ["city", "country", "river", "person", "car"]
+    tokens = tokenize_text(text)
+    # words: Kyiv is the capital of Ukraine .
+    logits = np.full((len(tokens), 12, len(labels)), -12.0, dtype=np.float32)
+    logits[0, 0, 0] = logit_of(0.9)   # (word 0, width 1) → city
+    logits[5, 0, 1] = logit_of(0.9)   # (word 5, width 1) → country
+    return text, labels, tokens, logits
+
+
+def test_model_inference_golden_injected():
+    text, labels, tokens, logits = _kyiv_setup()
+    spans = greedy_search(
+        decode_span_logits(logits, tokens, text, labels, threshold=0.5)
+    )
+    assert len(spans) == 2
+    s1, s2 = spans
+    assert (s1[0], s1[1], s1[2], s1[3]) == (0, 4, "Kyiv", "city")
+    assert abs(s1[4] - 0.9) < 0.1
+    assert (s2[0], s2[1], s2[2], s2[3]) == (23, 30, "Ukraine", "country")
+    assert abs(s2[4] - 0.9) < 0.1
+
+
+def test_model_inference_golden_via_surrogate():
+    text = "Kyiv is the capital of Ukraine."
+    out = ner_documents([text], GOLDEN_LABELS, SurrogateScorer(12))
+    assert [(s[0], s[1], s[2], s[3]) for s in out[0]] == [
+        (0, 4, "Kyiv", "city"),
+        (23, 30, "Ukraine", "country"),
+    ]
+    assert all(abs(s[4] - 0.9) < 0.1 for s in out[0])
+
+
+def test_empty_inputs_guard():
+    # model.cpp:50-52,104-107: empty texts or labels → no spans
+    assert ner_documents([], ["city"], SurrogateScorer()) == []
+    assert ner_documents(["x"], [], SurrogateScorer()) == [[]]
+    assert ner_documents([""], ["city"], SurrogateScorer()) == [[]]
+
+
+# --- span enumeration (processor.cpp:122-144) ---
+def test_enumerate_spans_layout():
+    spans = enumerate_spans(3, 12)
+    # widths limited by text end: (0,0..2), (1,1..2), (2,2)
+    assert spans.tolist() == [
+        [0, 0], [0, 1], [0, 2], [1, 1], [1, 2], [2, 2],
+    ]
+    assert enumerate_spans(0, 12).shape == (0, 2)
+
+
+# --- greedy semantics (decoder.cpp:11-61) ---
+def _sp(s, e, p, lab="x"):
+    return (s, e, f"t{s}-{e}", lab, p)
+
+
+def test_greedy_keeps_higher_prob_on_overlap():
+    spans = [_sp(0, 5, 0.6), _sp(3, 8, 0.9), _sp(10, 12, 0.7)]
+    assert greedy_search(spans) == [_sp(3, 8, 0.9), _sp(10, 12, 0.7)]
+
+
+def test_greedy_equal_prob_keeps_leftmost():
+    # prev.prob < next.prob is strict (decoder.cpp:54)
+    spans = [_sp(0, 5, 0.9), _sp(3, 8, 0.9)]
+    assert greedy_search(spans) == [_sp(0, 5, 0.9)]
+
+
+def test_greedy_identical_range_multilabel():
+    a = _sp(0, 5, 0.8, "city")
+    b = _sp(0, 5, 0.7, "country")
+    assert greedy_search([a, b], multi_label=False) == [a]
+    assert greedy_search([a, b], multi_label=True) == [a, b]
+
+
+def test_greedy_nested_flat_vs_nested():
+    outer = _sp(0, 10, 0.9)
+    inner = _sp(2, 5, 0.8)
+    # flat NER: nested = overlapping → keep higher
+    assert greedy_search([outer, inner], flat_ner=True) == [outer]
+    # nested-allowed mode uses hasOverlappingNested, which ALSO suppresses
+    # nesting (decoder.cpp:27-29) — faithful to the reference's behavior
+    assert greedy_search([outer, inner], flat_ner=False) == [outer]
+
+
+def test_greedy_chain_sequential_not_windowable():
+    # a<b overlap, b<c overlap, a,c disjoint: keep b only — the "winner
+    # absorbs both sides" behavior a frame-window can't express
+    a, b, c = _sp(0, 4, 0.5), _sp(3, 8, 0.9), _sp(7, 10, 0.6)
+    assert greedy_search([a, b, c]) == [b]
+
+
+# --- surrogate overlap resolution on page corpus ---
+def test_surrogate_nested_phrase_beats_inner():
+    text = "New York City is not the capital of New York."
+    out = ner_documents([text], GOLDEN_LABELS, SurrogateScorer(12))[0]
+    texts = [(s[2], s[3]) for s in out]
+    # "New York City" (0.93) beats nested "New York" (0.91); trailing
+    # "New York" stands alone
+    assert ("New York City", "city") in texts
+    assert ("New York", "city") in texts
+    assert len([t for t, _ in texts if t == "New York City"]) == 1
+
+
+# --- encode layout golden (processor.cpp:83-114) with a fake tokenizer ---
+def test_encode_batch_layout():
+    fake_vocab = {}
+
+    def encode_word(w):
+        # deterministic 1-2 subwords per word
+        fid = fake_vocab.setdefault(w, 100 + len(fake_vocab) * 2)
+        return [fid] if len(w) < 6 else [fid, fid + 1]
+
+    tokens = tokenize_text("Hello world")
+    enc = encode_batch([tokens], ["city"], encode_word, max_width=12)
+    ids = enc.input_ids[0]
+    # prompt: <<ENT>>(2 subwords) city(1) <<SEP>>(2) then Hello(1) world(1)
+    assert ids[0] == 1  # BOS
+    n_real = 1 + 2 + 1 + 2 + 1 + 1 + 1  # BOS + prompt subwords + 2 words + EOS
+    assert ids[n_real - 1] == 2  # EOS
+    assert enc.attention_mask[0, : n_real].all()
+    assert not enc.attention_mask[0, n_real:].any()
+    # words_mask: 1-based counter at first subword of text words only
+    wm = enc.words_mask[0]
+    nz = [(i, v) for i, v in enumerate(wm) if v]
+    assert [v for _, v in nz] == [1, 2]
+    # first text word starts right after BOS + 5 prompt subwords
+    assert nz[0][0] == 1 + 5
+    assert enc.text_lengths.tolist() == [[2]]
+    # spans: both words enumerated
+    assert enc.span_mask[0].sum() == 3  # (0,0),(0,1),(1,1)
+
+
+# --- property tests ---
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(1, 8),
+    st.integers(1, 4),
+    st.data(),
+)
+def test_decode_properties(n_words, n_labels, data):
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    text = " ".join(f"w{i}" for i in range(n_words))
+    tokens = tokenize_text(text)
+    logits = rng.normal(0, 3, size=(n_words, 12, n_labels)).astype(np.float32)
+    labels = [f"L{i}" for i in range(n_labels)]
+    spans = decode_span_logits(logits, tokens, text, labels, threshold=0.5)
+    for s, e, txt, lab, p in spans:
+        assert 0 <= s < e <= len(text)
+        assert p >= 0.5
+        assert lab in labels
+    sel = greedy_search(spans)
+    # flat NER: mutually non-overlapping output
+    for i in range(len(sel)):
+        for j in range(i + 1, len(sel)):
+            a, b = sel[i], sel[j]
+            assert a[0] > b[1] or b[0] > a[1]
+
+
+def test_sigmoid_matches_reference_formula():
+    xs = np.array([-3.0, 0.0, 2.0], dtype=np.float32)
+    assert np.allclose(sigmoid(xs), 1.0 / (1.0 + np.exp(-xs)))
+    assert math.isclose(
+        float(sigmoid(np.float32(logit_of(0.9)))), 0.9, abs_tol=1e-6
+    )
+
+
+# --- token-level decode (decoder.cpp:123-181) ---
+def test_token_decode_running_mean():
+    text = "alpha beta gamma"
+    tokens = tokenize_text(text)
+    labels = ["x"]
+    logits = np.full((3, 3, 1), -12.0, dtype=np.float32)
+    hi = logit_of(0.9)
+    logits[0, 0, 0] = hi              # start at word 0
+    logits[1, 0, 0] = hi              # end allowed at word 0
+    logits[1, 1, 0] = hi              # end allowed at word 1
+    logits[2, 0, 0] = logit_of(0.8)   # inside score w0
+    logits[2, 1, 0] = logit_of(0.7)   # inside score w1
+    spans = decode_token_logits(logits, tokens, text, labels, threshold=0.5)
+    assert [(s[0], s[1], s[2]) for s in spans] == [
+        (0, 5, "alpha"),
+        (0, 10, "alpha beta"),
+    ]
+    assert abs(spans[0][4] - 0.8) < 1e-5
+    assert abs(spans[1][4] - 0.75) < 1e-5  # running mean (0.8+0.7)/2
