@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG pipeline slice (pages → mentions →
+triples) on sf0.001. ``queries``/``oracle_sql`` pair every implemented
+operator with a DuckDB oracle where SQL-expressible (SURVEY.md §5);
+non-SQL-expressible ops (MinHash signatures, greedy overlap resolution)
+get rows-only entries plus pytest goldens.
 """
 
 from __future__ import annotations
@@ -12,27 +12,55 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gliner_spark import oracle
+from gliner_spark.kernels.scorer import SOUP_LABELS
+from gliner_spark.operators.ner import extract_mentions
+from gliner_spark.operators.relations import aggregate_edges, extract_relations
+from gliner_spark.sources.pages import pages_from_documents
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_mentions(
+        _documents(spark, sf_dir), SOUP_LABELS, id_col="doc_id", text_col="text"
+    )
+
+
+def q_ner_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mentions(spark, sf_dir)
+
+
+def q_ner_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_relations(_mentions(spark, sf_dir))
+
+
+def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregate_edges(extract_relations(_mentions(spark, sf_dir)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages → NER mentions → relation triples at sf0.001."""
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    mentions = extract_mentions(pages, SOUP_LABELS)
+    return extract_relations(mentions)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ner_mentions": q_ner_mentions,
+        "ner_triples": q_ner_triples,
+        "kg_edges": q_kg_edges,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ner_mentions": oracle.ner_mentions_sql(),
+        "ner_triples": oracle.ner_triples_sql(),
+        "kg_edges": oracle.kg_edges_sql(),
+    }

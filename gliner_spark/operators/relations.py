@@ -1,0 +1,91 @@
+"""Relation extraction: mentions → (subj, pred, obj) triples.
+
+No reference counterpart (the reference stops at spans); mandated by the
+north rule (BASELINE.json:north_star — "dependency-pattern relation
+extraction to emit (subj, pred, obj) triples"). Implemented Spark-first
+as a proximity self-join over the long-format mentions table:
+
+  subj ⋈ obj on doc_id where subj.label/obj.label match a rule and
+  0 < obj.m_start − subj.m_start ≤ window_bytes
+
+This is a plain Catalyst equi-join on ``doc_id`` with a range residual —
+fully declarative, so AQE handles skew (one hot page with thousands of
+mentions) and the rule table is broadcast. Wall-clock at scale is
+dominated by the single shuffle of mentions by doc_id; callers running
+several mention-consuming stages should ``repartition(doc_id)`` once
+upstream and reuse (see plans/kg.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (subj_label, obj_label, pred) — deterministic predicate lexicon; the
+# pattern-based stand-in for dependency-path relation classification.
+DEFAULT_RULES: List[Tuple[str, str, str]] = [
+    ("system", "operator", "executes"),
+    ("system", "artifact", "stores"),
+    ("operator", "artifact", "operates_on"),
+    ("person", "city", "located_in"),
+    ("city", "country", "capital_of"),
+    ("person", "car", "owns"),
+]
+
+DEFAULT_WINDOW_BYTES = 64
+
+
+def extract_relations(
+    mentions: DataFrame,
+    rules: Sequence[Tuple[str, str, str]] = DEFAULT_RULES,
+    window_bytes: int = DEFAULT_WINDOW_BYTES,
+) -> DataFrame:
+    """mentions → triples via windowed co-occurrence.
+
+    Directed: subject mention must precede the object mention within
+    ``window_bytes`` of byte offset (a sentence-scale proximity window).
+    prob = subj.prob × obj.prob, rounded to 4 (both factors are rounded
+    sigmoids already; see operators/ner.py).
+    """
+    spark = mentions.sparkSession
+    rules_df = F.broadcast(
+        spark.createDataFrame(
+            list(rules), "subj_label string, obj_label string, pred string"
+        )
+    )
+    s = mentions.alias("s")
+    o = mentions.alias("o")
+    return (
+        s.join(o, F.col("s.doc_id") == F.col("o.doc_id"))
+        .where(
+            (F.col("o.m_start") > F.col("s.m_start"))
+            & (F.col("o.m_start") - F.col("s.m_start") <= window_bytes)
+        )
+        .join(
+            rules_df,
+            (F.col("s.label") == F.col("subj_label"))
+            & (F.col("o.label") == F.col("obj_label")),
+        )
+        .select(
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.m_text").alias("subj"),
+            F.col("s.label").alias("subj_label"),
+            F.col("s.m_start").alias("subj_start"),
+            F.col("pred"),
+            F.col("o.m_text").alias("obj"),
+            F.col("o.label").alias("obj_label"),
+            F.col("o.m_start").alias("obj_start"),
+            F.round(F.col("s.prob") * F.col("o.prob"), 4).alias("prob"),
+        )
+    )
+
+
+def aggregate_edges(triples: DataFrame) -> DataFrame:
+    """Distinct (subj, pred, obj) with support counts — the KG edge view
+    before canonicalization."""
+    return triples.groupBy("subj", "subj_label", "pred", "obj", "obj_label").agg(
+        F.count(F.lit(1)).alias("support"),
+        F.round(F.max("prob"), 4).alias("max_prob"),
+    )
