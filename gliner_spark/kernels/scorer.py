@@ -72,11 +72,21 @@ GAZETTEER: List[Tuple[Tuple[str, ...], str, float]] = [
     (("spark",), "system", 0.94),
     (("query",), "system", 0.90),
     (("stream",), "system", 0.88),
-    # soup-corpus phrases (components deliberately not single entries)
+    # soup-corpus phrases + their head nouns: a phrase occurrence overlaps
+    # the noun occurrence inside it, so flat-NER greedy suppresses the
+    # noun (phrase prob is higher) — real overlap resolution on the soup
+    # corpus, and the phrase↔noun pairs give the linker non-trivial
+    # Jaccard structure ("big data" ~ "data" etc.). Phrase FIRST words
+    # (big, key, small, fast) are deliberately not entries, which keeps
+    # the suppression SQL-expressible via a previous-word anti-join.
     (("big", "data"), "concept", 0.95),
     (("key", "value"), "concept", 0.95),
     (("small", "batch"), "concept", 0.95),
     (("fast", "window"), "concept", 0.95),
+    (("data",), "concept", 0.80),
+    (("value",), "concept", 0.78),
+    (("batch",), "concept", 0.76),
+    (("window",), "concept", 0.74),
 ]
 
 SOUP_LABELS = ["operator", "artifact", "system", "concept"]

@@ -1,0 +1,107 @@
+"""Canonicalization: connected components over link edges → entity ids.
+
+No reference counterpart; mandated by the north rule (GraphFrames is the
+suggestion there but is not installed in this sandbox, so the primary
+implementation is a native DataFrame iteration — SURVEY.md §2.3).
+
+Algorithm: iterated label propagation to the component minimum ("hash-
+min"), the DataFrame formulation of the classic small-star/large-star
+map-reduce CC. Each iteration is one shuffle (groupBy node); labels
+monotonically decrease, so convergence is ≤ diameter iterations —
+surface-similarity graphs have tiny diameters (chains of near-duplicate
+strings), so the ``max_iters=20`` bound is generous. ``localCheckpoint``
+truncates lineage per iteration (without it the plan doubles each round
+and Catalyst analysis time explodes by iteration ~15).
+
+At 100 TB the edge set after linking is ≪ input size (distinct surface
+pairs over threshold), so per-iteration shuffles are cheap relative to
+the NER scan; AQE coalesces the small shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """edges(src, dst) undirected → (node, component) with component =
+    min node id (lexicographic for strings) in the component."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    ).localCheckpoint()
+
+    for _ in range(max_iters):
+        # candidate label for each node: min over neighbors' labels
+        nbr = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_entities(
+    surfaces: DataFrame, links: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """surfaces(sid, label, surface, n_mentions) × links(src, dst, sim)
+    → (sid, entity_id, canonical, label, n_mentions).
+
+    entity_id = min sid in the component; singleton surfaces (no link)
+    are their own entity. canonical = the entity_id's surface string.
+    """
+    comp = connected_components(links, "src", "dst", max_iters)
+    mapped = (
+        surfaces.join(comp, surfaces.sid == comp.node, "left")
+        .select(
+            "sid",
+            "label",
+            "surface",
+            "n_mentions",
+            F.coalesce("component", "sid").alias("entity_id"),
+        )
+    )
+    canon = mapped.where(F.col("sid") == F.col("entity_id")).select(
+        F.col("entity_id").alias("ce_id"),
+        F.col("surface").alias("canonical"),
+    )
+    return mapped.join(canon, mapped.entity_id == canon.ce_id).drop("ce_id")
+
+
+def nodes_table(entities: DataFrame) -> DataFrame:
+    """Aggregate per-entity node rows (FIXTURES.md §4 nodes schema)."""
+    return entities.groupBy("entity_id", "canonical", "label").agg(
+        F.sum("n_mentions").alias("n_mentions"),
+        F.count(F.lit(1)).alias("n_surfaces"),
+    )

@@ -1,0 +1,220 @@
+"""Entity linking: mention surfaces → similarity edges.
+
+No reference counterpart; mandated by the north rule
+(BASELINE.json:north_star — "MinHash-LSH blocked entity linking with
+cosine scoring over span embeddings"). Two interchangeable paths:
+
+1. ``exact_jaccard_links`` — exact char-shingle Jaccard via a shingle
+   inverted-index join. Fully SQL-expressible (DuckDB oracle) and itself
+   a respectable distributed algorithm: explode shingles, equi-join on
+   shingle, count per pair, filter. Quadratic only within a shingle
+   bucket, never globally.
+2. ``lsh_links`` — MinHash signatures + banded LSH blocking, then exact
+   Jaccard verification on candidates only. The 100 TB path: candidate
+   generation is a single equi-join on (band_idx, band_hash); everything
+   stays JVM-side (``xxhash64``/``transform``/``array_min`` — zero
+   Python), so whole-stage codegen covers the hot path end-to-end.
+
+Skew: surfaces are distinct strings, so the shingle join's hot keys are
+common shingles (e.g. "the"). ``max_bucket`` drops shingle buckets larger
+than a cutoff (standard prefix-filter trick: a shingle shared by
+thousands of surfaces carries ~no signal and would produce a quadratic
+bucket). LSH band buckets are bounded the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# deterministic MinHash permutation modulus: Mersenne prime 2^31-1, small
+# enough that (a*x + b) stays under 2^62 — Spark 4 runs ANSI mode, where
+# silent 64-bit overflow is an error, so operands must be bounded.
+MERSENNE = (1 << 31) - 1
+
+
+def surface_key():
+    return F.concat(F.col("label"), F.lit(":"), F.lower(F.col("m_text")))
+
+
+def entity_surfaces(mentions: DataFrame) -> DataFrame:
+    """Distinct (label, surface) with support — the linking universe.
+    Aggregation shrinks the input by orders of magnitude before any
+    pairwise work (distinct surfaces ≪ mentions at web scale)."""
+    return (
+        mentions.groupBy(
+            F.col("label"), F.lower(F.col("m_text")).alias("surface")
+        )
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .withColumn(
+            "sid", F.concat(F.col("label"), F.lit(":"), F.col("surface"))
+        )
+    )
+
+
+def char_shingles(col, k: int = 3):
+    """Distinct char k-grams of a string column (JVM-side, codegen'd).
+    Strings shorter than k yield the string itself (so nothing is
+    unlinkable by construction)."""
+    n = F.length(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.substring(col, i, k),
+    )
+    return F.array_distinct(grams)
+
+
+def _pair_counts(exploded: DataFrame, max_bucket: int) -> DataFrame:
+    """Candidate pairs with shingle-intersection counts; buckets larger
+    than ``max_bucket`` are dropped (high-frequency shingles carry no
+    discriminative signal and would blow up quadratically)."""
+    bucket = (
+        exploded.groupBy("label", "shingle")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") <= max_bucket)
+        .select("label", "shingle")
+    )
+    pruned = exploded.join(bucket, ["label", "shingle"])
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .groupBy(
+            F.col("a.sid").alias("src"),
+            F.col("b.sid").alias("dst"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
+def exact_jaccard_links(
+    surfaces: DataFrame,
+    k: int = 3,
+    threshold: float = 0.30,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(src, dst, sim) for same-label surface pairs with char-k-gram
+    Jaccard ≥ threshold; src < dst lexicographically."""
+    sh = surfaces.withColumn("sh", char_shingles(F.col("surface"), k)).select(
+        "sid", "label", "sh", F.size("sh").alias("n_sh")
+    )
+    exploded = sh.select(
+        "sid", "label", "n_sh", F.explode("sh").alias("shingle")
+    )
+    pairs = _pair_counts(exploded, max_bucket)
+    return pairs.select(
+        "src",
+        "dst",
+        F.round(
+            F.col("inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+            6,
+        ).alias("sim"),
+    ).where(F.col("sim") >= threshold)
+
+
+def minhash_signature(shingle_col, n_perms: int, seed: int = 7):
+    """Array of n_perms MinHash values — pure SQL expressions, no Python.
+
+    Permutation i: h_i(x) = (a_i * xxhash64(x) + b_i) mod M61, with
+    (a_i, b_i) derived deterministically from the seed.
+    """
+    import random
+
+    rng = random.Random(seed)
+
+    def perm(a: int, b: int):
+        # factory (not default-arg lambda): F.transform inspects arity
+        def h(x):
+            return F.pmod(
+                F.lit(a) * F.pmod(F.xxhash64(x), F.lit(MERSENNE)) + F.lit(b),
+                F.lit(MERSENNE),
+            )
+
+        return h
+
+    mins = []
+    for _ in range(n_perms):
+        a = rng.randrange(1, MERSENNE)
+        b = rng.randrange(0, MERSENNE)
+        mins.append(F.array_min(F.transform(shingle_col, perm(a, b))))
+    return F.array(*mins)
+
+
+def lsh_links(
+    surfaces: DataFrame,
+    k: int = 3,
+    n_perms: int = 64,
+    bands: int = 32,
+    threshold: float = 0.30,
+    max_bucket: int = 2000,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    bands×rows = n_perms; a pair collides if any band's row-slice of the
+    signature matches. Candidates then verified exactly, so the output is
+    a (possibly incomplete, tunably-high-recall) subset of
+    ``exact_jaccard_links`` — recall measured in tests/bench.
+    """
+    assert n_perms % bands == 0
+    rows = n_perms // bands
+    sh = surfaces.withColumn("sh", char_shingles(F.col("surface"), k)).select(
+        "sid", "label", "surface", "sh", F.size("sh").alias("n_sh")
+    )
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), n_perms, seed))
+    banded = sig.select(
+        "sid",
+        "label",
+        "n_sh",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice(F.col("sig"), i * rows + 1, rows)),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    # bound pathological band buckets (skew guard)
+    bucket = (
+        banded.groupBy("label", "band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where((F.col("bn") > 1) & (F.col("bn") <= max_bucket))
+        .select("label", "band_idx", "band_hash")
+    )
+    pruned = banded.join(bucket, ["label", "band_idx", "band_hash"])
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(
+            F.col("a.sid").alias("src"),
+            F.col("b.sid").alias("dst"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.sh").alias("sh_b"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return cand.select(
+        "src",
+        "dst",
+        F.round(
+            inter / (F.col("n_a") + F.col("n_b") - inter), 6
+        ).alias("sim"),
+    ).where(F.col("sim") >= threshold)

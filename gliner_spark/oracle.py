@@ -55,15 +55,21 @@ pos AS (
              PARTITION BY doc_id ORDER BY ord
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            + (ord - 1) AS s,
-         LEAD(w) OVER (PARTITION BY doc_id ORDER BY ord) AS next_w
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY ord) AS next_w,
+         LAG(w) OVER (PARTITION BY doc_id ORDER BY ord) AS prev_w
   FROM toks
 ),
 men AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  -- single-word matches; the anti-join drops noun occurrences covered by
+  -- a phrase match (flat-NER greedy keeps the higher-prob phrase span)
+  SELECT CAST(pos.doc_id AS VARCHAR) AS doc_id,
          CAST(s AS BIGINT) AS m_start,
          CAST(s + length(w) AS BIGINT) AS m_end,
-         w AS m_text, label, CAST(prob AS DOUBLE) AS prob
-  FROM pos JOIN gaz_single ON pos.w = gaz_single.term
+         w AS m_text, gaz_single.label, CAST(gaz_single.prob AS DOUBLE) AS prob
+  FROM pos
+  JOIN gaz_single ON pos.w = gaz_single.term
+  LEFT JOIN gaz_phrase gp ON gp.w2 = pos.w AND gp.w1 = pos.prev_w
+  WHERE gp.w1 IS NULL
   UNION ALL
   SELECT CAST(doc_id AS VARCHAR),
          CAST(s AS BIGINT),
@@ -93,6 +99,86 @@ JOIN men o ON s.doc_id = o.doc_id
           AND o.m_start > s.m_start
           AND o.m_start - s.m_start <= {window_bytes}
 JOIN rules r ON s.label = r.r_subj AND o.label = r.r_obj"""
+
+
+def surfaces_cte() -> str:
+    """Distinct (label, surface) universe over mentions — mirrors
+    operators/linking.entity_surfaces."""
+    return """
+surf AS (
+  SELECT label, lower(m_text) AS surface,
+         label || ':' || lower(m_text) AS sid,
+         CAST(COUNT(*) AS BIGINT) AS n_mentions
+  FROM men GROUP BY label, lower(m_text)
+)"""
+
+
+def links_cte(k: int = 3, threshold: float = 0.30) -> str:
+    """Exact char-shingle Jaccard links — mirrors
+    operators/linking.exact_jaccard_links. The max_bucket prune is a
+    no-op at sf0.01 (≈30 distinct surfaces) so it is not mirrored."""
+    return f"""
+sh AS (
+  SELECT sid, label,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(surface) - {k - 1}, 1)),
+           i -> substr(surface, i, {k}))) AS grams
+  FROM surf
+),
+expl AS (
+  SELECT sid, label, len(grams) AS n_sh, unnest(grams) AS shingle FROM sh
+),
+links AS (
+  SELECT src, dst,
+         ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS sim
+  FROM (
+    SELECT a.sid AS src, b.sid AS dst, a.n_sh AS n_a, b.n_sh AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS inter
+    FROM expl a
+    JOIN expl b ON a.label = b.label AND a.shingle = b.shingle
+               AND a.sid < b.sid
+    GROUP BY 1, 2, 3, 4
+  )
+  WHERE ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) >= {threshold}
+)"""
+
+
+def kg_links_sql() -> str:
+    return (
+        f"WITH {mentions_cte()}, {surfaces_cte()}, {links_cte()} "
+        "SELECT * FROM links"
+    )
+
+
+def kg_nodes_sql() -> str:
+    """Connected components via recursive CTE (small scale only) —
+    mirrors operators/canonicalize.canonical_entities + nodes_table."""
+    return f"""WITH RECURSIVE {mentions_cte()}, {surfaces_cte()}, {links_cte()},
+sym AS (
+  SELECT src AS a, dst AS b FROM links
+  UNION
+  SELECT dst AS a, src AS b FROM links
+),
+reach(node, root) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
+mapped AS (
+  SELECT surf.sid, surf.label, surf.surface, surf.n_mentions,
+         COALESCE(comp.component, surf.sid) AS entity_id
+  FROM surf LEFT JOIN comp ON surf.sid = comp.node
+),
+canon AS (
+  SELECT entity_id AS ce_id, surface AS canonical
+  FROM mapped WHERE sid = entity_id
+)
+SELECT m.entity_id, c.canonical, m.label,
+       CAST(SUM(m.n_mentions) AS BIGINT) AS n_mentions,
+       CAST(COUNT(*) AS BIGINT) AS n_surfaces
+FROM mapped m JOIN canon c ON m.entity_id = c.ce_id
+GROUP BY 1, 2, 3"""
 
 
 def kg_edges_sql() -> str:

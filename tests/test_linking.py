@@ -1,0 +1,107 @@
+"""Linking + canonicalization: LSH recall vs exact Jaccard, connected
+components correctness. Spark tests share one session (module scope)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gliner_spark.operators.canonicalize import (
+    canonical_entities,
+    connected_components,
+    nodes_table,
+)
+from gliner_spark.operators.linking import (
+    char_shingles,
+    entity_surfaces,
+    exact_jaccard_links,
+    lsh_links,
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from gliner_spark.session import build_session
+
+    s = build_session(app_name="gliner-tests", cores=4)
+    yield s
+    s.stop()
+
+
+def _surfaces(spark, rows):
+    return spark.createDataFrame(
+        [(f"{lab}:{surf}", lab, surf, n) for lab, surf, n in rows],
+        "sid string, label string, surface string, n_mentions long",
+    )
+
+
+SURF_ROWS = [
+    ("city", "new york", 10),
+    ("city", "new york city", 5),
+    ("city", "york", 2),
+    ("city", "kyiv", 7),
+    ("country", "ukraine", 4),
+    ("country", "the ukraine", 1),
+    ("person", "elon musk", 3),
+    ("person", "musk", 1),
+]
+
+
+def test_exact_jaccard_links_structure(spark):
+    links = exact_jaccard_links(_surfaces(spark, SURF_ROWS), threshold=0.30)
+    pairs = {(r.src, r.dst) for r in links.collect()}
+    assert ("city:new york", "city:new york city") in pairs
+    assert ("country:the ukraine", "country:ukraine") in pairs
+    # cross-label pairs never linked
+    assert all(s.split(":")[0] == d.split(":")[0] for s, d in pairs)
+    # dissimilar same-label surfaces not linked
+    assert ("city:kyiv", "city:new york") not in pairs
+
+
+def test_lsh_recall_vs_exact(spark):
+    surfaces = _surfaces(spark, SURF_ROWS)
+    exact = {
+        (r.src, r.dst): r.sim
+        for r in exact_jaccard_links(surfaces, threshold=0.30).collect()
+    }
+    lsh = {
+        (r.src, r.dst): r.sim
+        for r in lsh_links(surfaces, threshold=0.30).collect()
+    }
+    # LSH is a subset with identical sims (verification is exact)
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # recall at default band config
+    assert len(lsh) >= 0.75 * len(exact) > 0
+
+
+def test_shingles_short_string(spark):
+    df = spark.range(1).select(char_shingles(F.lit("ab"), 3).alias("sh"))
+    assert df.collect()[0].sh == ["ab"]
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"),
+         ("r", "s")],
+        "src string, dst string",
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["p"] == comp["q"] == comp["r"] == comp["s"] == "p"
+
+
+def test_canonical_entities_singletons_and_merge(spark):
+    surfaces = _surfaces(spark, SURF_ROWS)
+    links = exact_jaccard_links(surfaces, threshold=0.30)
+    ents = canonical_entities(surfaces, links)
+    rows = {r.sid: r for r in ents.collect()}
+    assert len(rows) == len(SURF_ROWS)  # every surface mapped
+    # merged component shares entity_id; singleton keeps its own
+    assert rows["city:new york"].entity_id == rows["city:new york city"].entity_id
+    assert rows["city:kyiv"].entity_id == "city:kyiv"
+    nodes = nodes_table(ents)
+    n = {r.entity_id: r for r in nodes.collect()}
+    merged = rows["city:new york"].entity_id
+    assert n[merged].n_mentions >= 15  # 10 + 5 (maybe + york)
+    assert n[merged].n_surfaces >= 2
