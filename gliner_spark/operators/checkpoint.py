@@ -1,0 +1,108 @@
+"""Per-partition checkpointing with lineage + metrics, and resume.
+
+North-rule requirement (BASELINE.json:north_rule: "resumable from
+checkpoint with per-partition lineage + metrics"). The reference has no
+persistence at all; this is target-side design (SURVEY.md §2.3).
+
+Mechanism: every stage writes its output parquet partitioned by a stable
+``part_key`` (e.g. ``substr(xxhash64(url), …)`` bucket or lang), and
+appends one manifest row per partition to a checkpoint table:
+(stage, part_key, status, n_rows, lineage, ts). A re-run left-anti-joins
+its input against the DONE manifest rows for the stage and processes only
+missing partitions — idempotent because each partition's output path is
+deterministic and overwritten atomically (dynamic partition overwrite).
+
+At cluster scale this is the standard Iceberg/Hive pattern; parquet is
+used here because the sandbox has no Iceberg runtime, but the writer goes
+through one function (``_write``) so swapping the format is one line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PART_COL = "part_key"
+DONE = "done"
+
+
+def with_part_key(df: DataFrame, key_col: str, n_buckets: int = 64) -> DataFrame:
+    """Deterministic bucket key: stable across runs and cluster sizes
+    (content-hash, not partition id — partition ids are not stable under
+    different parallelism, bucket hashes are)."""
+    return df.withColumn(
+        PART_COL, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("string")
+    )
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, "_checkpoints")
+
+
+def read_manifest(spark: SparkSession, root: str, stage: str) -> DataFrame:
+    path = _manifest_path(root)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame(
+            [], "stage string, part_key string, status string, n_rows long, "
+                "lineage string, ts timestamp"
+        )
+    return m.where(F.col("stage") == stage)
+
+
+def completed_partitions(spark: SparkSession, root: str, stage: str) -> DataFrame:
+    return (
+        read_manifest(spark, root, stage)
+        .where(F.col("status") == DONE)
+        .select(PART_COL)
+        .distinct()
+    )
+
+
+def checkpoint_write(
+    df: DataFrame,
+    root: str,
+    stage: str,
+    lineage: dict | None = None,
+) -> DataFrame:
+    """Write ``df`` (must carry part_key) partition-by-partition with a
+    manifest; skips partitions already DONE (resume). Returns the full
+    stage output (reading back what exists on disk)."""
+    spark = df.sparkSession
+    out_path = os.path.join(root, stage)
+
+    done = completed_partitions(spark, root, stage)
+    todo = df.join(F.broadcast(done), PART_COL, "left_anti")
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    todo.write.mode("overwrite").partitionBy(PART_COL).parquet(out_path)
+
+    # manifest rows: per-partition row counts = the metrics the north rule
+    # asks to track (triples per partition etc.)
+    counts = todo.groupBy(PART_COL).agg(F.count(F.lit(1)).alias("n_rows"))
+    manifest = counts.select(
+        F.lit(stage).alias("stage"),
+        F.col(PART_COL),
+        F.lit(DONE).alias("status"),
+        F.col("n_rows"),
+        F.lit(json.dumps(lineage or {}, sort_keys=True)).alias("lineage"),
+        F.current_timestamp().alias("ts"),
+    )
+    manifest.write.mode("append").parquet(_manifest_path(root))
+    return spark.read.parquet(out_path)
+
+
+def stage_metrics(spark: SparkSession, root: str) -> DataFrame:
+    """All manifest rows — per-stage, per-partition counts and lineage."""
+    try:
+        return spark.read.parquet(_manifest_path(root))
+    except Exception:
+        return spark.createDataFrame(
+            [], "stage string, part_key string, status string, n_rows long, "
+                "lineage string, ts timestamp"
+        )

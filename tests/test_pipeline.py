@@ -1,0 +1,90 @@
+"""End-to-end pipeline + checkpoint/resume tests (SURVEY.md §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gliner_spark.kernels.scorer import ALL_LABELS
+from gliner_spark.operators.checkpoint import (
+    checkpoint_write,
+    stage_metrics,
+    with_part_key,
+)
+from gliner_spark.plans.kg import build_kg
+from gliner_spark.sources.pages import (
+    pages_from_documents,
+    synthesize_pages,
+    verify_extraction,
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from gliner_spark.session import build_session
+
+    s = build_session(app_name="gliner-tests", cores=4)
+    yield s
+    s.stop()
+
+
+def test_html_extraction_byte_identical(spark):
+    pages = synthesize_pages(spark, 300)
+    assert verify_extraction(pages).count() == 0
+    pages2 = pages_from_documents(spark, "/root/testdata/sf0.001")
+    assert verify_extraction(pages2).count() == 0
+
+
+def test_build_kg_end_to_end(spark):
+    pages = synthesize_pages(spark, 300)
+    kg = build_kg(pages, ALL_LABELS)
+    assert kg.mentions.count() > 0
+    assert kg.triples.count() > 0
+    nodes = kg.nodes.collect()
+    assert len(nodes) > 0
+    # "new york" and "new york city" canonicalize together
+    by_canon = {}
+    for r in nodes:
+        by_canon.setdefault(r.canonical, []).append(r)
+    merged = [r for r in nodes if r.n_surfaces >= 2]
+    assert merged, "expected at least one merged entity"
+    assert kg.edges.count() > 0
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    root = str(tmp_path / "ckpt")
+    pages = synthesize_pages(spark, 120)
+    kg1 = build_kg(pages, ALL_LABELS, checkpoint_root=root)
+    n_mentions = kg1.mentions.count()
+    n_triples = kg1.triples.count()
+    metrics1 = stage_metrics(spark, root).where(F.col("stage") == "mentions")
+    n_parts = metrics1.count()
+    assert n_parts > 0
+    assert (
+        metrics1.agg(F.sum("n_rows")).collect()[0][0] == n_mentions
+    )  # per-partition counts sum to the total
+
+    # resume: second run must skip all DONE partitions (manifest count
+    # unchanged) and produce identical outputs
+    kg2 = build_kg(pages, ALL_LABELS, checkpoint_root=root)
+    assert kg2.mentions.count() == n_mentions
+    assert kg2.triples.count() == n_triples
+    metrics2 = stage_metrics(spark, root).where(F.col("stage") == "mentions")
+    assert metrics2.count() == n_parts  # no new manifest rows appended
+
+
+def test_checkpoint_partial_resume(spark, tmp_path):
+    """Kill-after-stage-k simulation: checkpoint half the partitions,
+    then run the full write — only missing partitions are processed."""
+    root = str(tmp_path / "ckpt2")
+    df = with_part_key(
+        spark.range(0, 1000).select(F.col("id").cast("string").alias("doc_id")),
+        "doc_id",
+        n_buckets=8,
+    )
+    half = df.where(F.col("part_key").isin("0", "1", "2", "3"))
+    checkpoint_write(half, root, "stage1")
+    full = checkpoint_write(df, root, "stage1")
+    assert full.count() == 1000
+    m = stage_metrics(spark, root)
+    # 4 manifest rows from the first write + 4 from the second (not 8)
+    assert m.count() == 8
+    assert set(r.part_key for r in m.collect()) == {str(i) for i in range(8)}
