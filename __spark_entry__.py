@@ -22,8 +22,30 @@ from gliner_spark.operators.linking import (
     exact_jaccard_links,
     lsh_links,
 )
+from gliner_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_dups,
+    ngram_jaccard_dups,
+    simhash_dups,
+)
+from gliner_spark.operators.multimodal import (
+    attach_media,
+    extract_features,
+    media_metadata,
+)
 from gliner_spark.operators.ner import extract_mentions
 from gliner_spark.operators.relations import aggregate_edges, extract_relations
+from gliner_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_dup_pairs,
+    hyperplane_lsh_topk,
+)
+from gliner_spark.operators.textstats import (
+    detect_language,
+    doc_fingerprints,
+    quality_score,
+    token_stats,
+)
 from gliner_spark.sources.pages import pages_from_documents
 
 
@@ -65,6 +87,71 @@ def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes_table(canonical_entities(surfaces, links))
 
 
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dup_groups(_documents(spark, sf_dir))
+
+
+def q_dedup_ngram(spark, sf_dir):
+    return ngram_jaccard_dups(_documents(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    # rows-only: MinHash has no SQL oracle; recall vs exact in pytest
+    return minhash_dups(_documents(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    # rows-only: SimHash bit-votes have no SQL form; pytest goldens
+    return simhash_dups(_documents(spark, sf_dir))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return embedding_dup_pairs(_embeddings(spark, sf_dir))
+
+
+def q_ann_topk(spark, sf_dir):
+    return brute_force_topk(_embeddings(spark, sf_dir), oracle.ANN_QUERY_IDS,
+                            k=oracle.ANN_TOPK)
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    # rows-only: approximate path; recall vs brute force in pytest
+    return hyperplane_lsh_topk(
+        _embeddings(spark, sf_dir), oracle.ANN_QUERY_IDS, k=oracle.ANN_TOPK
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    return token_stats(_documents(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return quality_score(_documents(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return detect_language(_documents(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return doc_fingerprints(_documents(spark, sf_dir))
+
+
+def q_mm_meta(spark, sf_dir):
+    return media_metadata(attach_media(_documents(spark, sf_dir)))
+
+
+def q_mm_features(spark, sf_dir):
+    # rows-only: fake-decode features (media libs absent; SURVEY.md §7)
+    return extract_features(attach_media(_documents(spark, sf_dir))).select(
+        "doc_id", "kind", F.size("feature").alias("dim")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages → NER mentions → relation triples at sf0.001."""
     pages = pages_from_documents(spark, "/root/testdata/sf0.001")
@@ -80,6 +167,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links": q_kg_links,
         "kg_links_lsh": q_kg_links_lsh,
         "kg_nodes": q_kg_nodes,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "mm_meta": q_mm_meta,
+        "mm_features": q_mm_features,
     }
 
 
@@ -90,4 +190,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": oracle.kg_edges_sql(),
         "kg_links": oracle.kg_links_sql(),
         "kg_nodes": oracle.kg_nodes_sql(),
+        "dedup_exact": oracle.dedup_exact_sql(),
+        "dedup_ngram": oracle.dedup_ngram_sql(),
+        "dedup_embedding": oracle.embedding_dups_sql(),
+        "ann_topk": oracle.ann_topk_sql(),
+        "token_stats": oracle.token_stats_sql(),
+        "quality": oracle.quality_sql(),
+        "lang_id": oracle.lang_id_sql(),
+        "fingerprints": oracle.fingerprints_sql(),
+        "mm_meta": oracle.mm_meta_sql(),
     }

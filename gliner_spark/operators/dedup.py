@@ -1,0 +1,300 @@
+"""Document deduplication for training-data pipelines.
+
+Five detectors, each a first-class operator over a documents/pages table
+(core requirement for a 100 TB corpus engine; the driver's testdata
+seeds near-duplicate docs at word-shingle Jaccard ≈ 0.99):
+
+- exact:       md5 content hash groupBy (zero false positives)
+- fingerprint: bag-normalized hash (order/multiplicity-insensitive)
+- ngram:       exact word-k-gram Jaccard via shingle inverted-index join
+- minhash:     MinHash-LSH blocked candidates + exact verification
+- simhash:     64-bit SimHash (pandas UDF) + banded Hamming join
+
+Scale notes: exact/fingerprint are one shuffle on a 16-byte key. The
+shingle join's bucket-size guard bounds quadratic blowup; at 100 TB the
+minhash path replaces the exact ngram join (signatures are fixed-width
+regardless of doc length, candidates ≈ true pairs for b/r tuned to the
+threshold). SimHash banding is 4 exact-match joins on 16-bit slices —
+cheapest of all at scale, catches Hamming ≤ 3×16-bit-band collisions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .linking import _pair_counts, minhash_signature
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, content_hash, group_size, keep): keep marks the minimum
+    id per identical-content group (the canonical survivor)."""
+    h = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )
+    g = h.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("keep_id")
+    )
+    return h.join(g, "content_hash").select(
+        "doc_id",
+        "content_hash",
+        "group_size",
+        (F.col("doc_id") == F.col("keep_id")).alias("keep"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Bag-normalized document fingerprint: md5 over the sorted distinct
+    word set — catches reordered/repeated-word copies exact hashing
+    misses. (doc_id, fp, group_size, keep)."""
+    h = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split(F.col(text_col), " ")))
+            )
+        ).alias("fp"),
+    )
+    g = h.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("keep_id")
+    )
+    return h.join(g, "fp").select(
+        "doc_id", "fp", "group_size",
+        (F.col("doc_id") == F.col("keep_id")).alias("keep"),
+    )
+
+
+def word_shingles(text_col, k: int = 3):
+    """Distinct word k-grams (JVM-side). Short docs yield their full
+    text as the single shingle."""
+    w = F.split(text_col, " ")
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+    return F.array_distinct(grams)
+
+
+def _doc_shingle_exploded(docs: DataFrame, id_col: str, text_col: str,
+                          k: int) -> DataFrame:
+    sh = docs.select(
+        F.col(id_col).cast("long").alias("sid"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    ).select("sid", F.lit("doc").alias("label"), "sh", F.size("sh").alias("n_sh"))
+    return sh.select("sid", "label", "n_sh", F.explode("sh").alias("shingle"))
+
+
+def ngram_jaccard_dups(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(src, dst, sim): doc pairs with word-k-gram Jaccard ≥ threshold.
+    src < dst numerically."""
+    exploded = _doc_shingle_exploded(docs, id_col, text_col, k)
+    pairs = _pair_counts(exploded, max_bucket)
+    return pairs.select(
+        "src",
+        "dst",
+        F.round(
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+        ).alias("sim"),
+    ).where(F.col("sim") >= threshold)
+
+
+def minhash_dups(
+    docs: DataFrame,
+    k: int = 3,
+    n_perms: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    max_bucket: int = 2000,
+    seed: int = 11,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified. Scale path for
+    ``ngram_jaccard_dups`` (b=32, r=4 → ~50% collision at J=0.8 per
+    band set; ≥1-of-32 collision prob ≈ 1 for J ≥ 0.8)."""
+    assert n_perms % bands == 0
+    rows = n_perms // bands
+    sh = docs.select(
+        F.col(id_col).cast("long").alias("sid"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    ).select("sid", "sh", F.size("sh").alias("n_sh"))
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), n_perms, seed))
+    banded = sig.select(
+        "sid",
+        "n_sh",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice(F.col("sig"), i * rows + 1, rows)),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    bucket = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where((F.col("bn") > 1) & (F.col("bn") <= max_bucket))
+        .select("band_idx", "band_hash")
+    )
+    pruned = banded.join(bucket, ["band_idx", "band_hash"])
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(
+            F.col("a.sid").alias("src"),
+            F.col("b.sid").alias("dst"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.sh").alias("sh_b"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return cand.select(
+        "src",
+        "dst",
+        F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 6).alias("sim"),
+    ).where(F.col("sim") >= threshold)
+
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def _simhash64(tokens: list) -> int:
+    """64-bit SimHash over token hashes (numpy-vectorized per doc)."""
+    if not tokens:
+        return 0
+    hs = np.array(
+        [hash_str_64(t) for t in tokens], dtype=np.uint64
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if v[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out.astype(np.int64))  # two's-complement into LongType
+
+
+def hash_str_64(s: str) -> int:
+    """Deterministic 64-bit string hash (FNV-1a); stable across runs and
+    processes (unlike Python's salted ``hash``)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash) via an Arrow-batched pandas stage — SimHash's
+    bit-vote accumulation has no efficient SQL form, so this is a
+    legitimate Pandas-UDF use (SURVEY.md §2.2 UDF surface)."""
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sh = [
+                _simhash64(t.split(" ") if isinstance(t, str) and t else [])
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "simhash": pd.Series(sh, dtype="int64")}
+            )
+
+    return src.mapInPandas(compute, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_dups(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    band_bits: int = 8,
+    max_bucket: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(src, dst, hamming): pairs within Hamming distance via 16-bit band
+    blocking (any pair with distance ≤ 6 shares ≥ 1 of 4 exact bands
+    unless all differing bits spread 3+ bands; recall measured in tests).
+    """
+    sig = simhash_signatures(docs, id_col, text_col)
+    # band_bits=8 → 8 bands: a pair with Hamming ≤ 6 almost always leaves
+    # ≥1 of 8 bytes identical; at web scale prefer band_bits=16 (4 bands,
+    # max_hamming≈3) — byte-bands collide too often on 10^12 docs. The
+    # bucket guard bounds quadratic blowup either way.
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = sig.select(
+        F.col("doc_id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    bucket = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where((F.col("bn") > 1) & (F.col("bn") <= max_bucket))
+        .select("band_idx", "band_val")
+    )
+    bands = bands.join(bucket, ["band_idx", "band_val"])
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("src", "dst", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

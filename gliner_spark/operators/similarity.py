@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the training-data-pipeline requirement:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, JVM-side cosine via ``zip_with``/``aggregate``
+  (no Python in the loop), per-query ``row_number`` window. The baseline
+  and the verifier for the approximate path.
+- ``hyperplane_lsh_topk`` — random-hyperplane (SimHash-for-cosine) LSH:
+  deterministic planes, sign-bit bucket key, candidates from bucket
+  collisions across ``n_tables`` independent tables, exact re-rank of
+  candidates only. The 100 TB path: bucket join replaces the full cross
+  product; recall tunable via tables/bits and measured in tests.
+
+Determinism: cosine is computed in float64 from float32 inputs, rounded
+to 6 decimals before ranking, ties broken by neighbor id — so ranks are
+stable across engines (matches the DuckDB oracle) and across partition
+orders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_expr(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a):
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a, b):
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, sim): exact top-k neighbors by
+    cosine for each query id (queries drawn from the corpus itself;
+    self-matches excluded)."""
+    corpus = embeddings.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    queries = F.broadcast(
+        embeddings.where(F.col(id_col).isin(list(query_ids))).select(
+            F.col(id_col).cast("long").alias("query_id"),
+            _as_double(F.col(vec_col)).alias("q"),
+        )
+    )
+    scored = (
+        corpus.crossJoin(queries)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q"), F.col("v")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def _planes(dim: int, n_bits: int, table: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed * 1000 + table)
+    return rng.standard_normal((n_bits, dim))
+
+
+def _bucket_expr(vec_col, planes: np.ndarray):
+    """Sign-bit bucket key for one LSH table — pure SQL expressions:
+    bit_i = (Σ_j v_j · p_ij) > 0, key = Σ bit_i · 2^i."""
+    bits = []
+    for i, row in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(c)) for c in row]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def hyperplane_lsh_topk(
+    embeddings: DataFrame,
+    query_ids,
+    k: int = 5,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates = same bucket in ≥1 of n_tables
+    hyperplane tables, then exact cosine re-rank. Candidate generation is
+    an equi-join on (table, bucket) — no cross product anywhere.
+
+    Defaults (4 bits × 8 tables) are tuned for weakly-similar corpora
+    (neighbor cosine ≈ 0.4 → per-plane agreement ≈ 0.63 → recall ≈ 0.75);
+    on real embedding corpora (neighbor cosine ≥ 0.8) raise n_bits to
+    12-16 so buckets stay selective at 10^12 rows."""
+    corpus = embeddings.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    buckets = corpus.select(
+        "neighbor_id",
+        "v",
+        F.posexplode(
+            F.array(
+                *[
+                    _bucket_expr(F.col("v"), _planes(dim, n_bits, t, seed))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tbl", "bucket"),
+    )
+    q_buckets = F.broadcast(
+        buckets.where(F.col("neighbor_id").isin(list(query_ids))).select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("v").alias("q"),
+            "tbl",
+            "bucket",
+        )
+    )
+    cand = (
+        buckets.join(q_buckets, ["tbl", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q", "neighbor_id", "v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("q"), F.col("v")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(src, dst, sim): all pairs with cosine ≥ threshold — embedding-
+    space near-duplicate detection. Exact O(n²) formulation for the
+    oracle-checked small scale; at 100 TB the LSH bucketing above
+    replaces the cross join (same re-rank code)."""
+    a = embeddings.select(
+        F.col(id_col).cast("long").alias("src"),
+        _as_double(F.col(vec_col)).alias("va"),
+    )
+    b = embeddings.select(
+        F.col(id_col).cast("long").alias("dst"),
+        _as_double(F.col(vec_col)).alias("vb"),
+    )
+    return (
+        a.join(b, F.col("src") < F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,109 @@
+"""Text analysis for training-data curation: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All four are pure Catalyst expressions (whole-stage codegen, no Python):
+the statistics a 100 TB curation pass computes per document must not pay
+the JVM→Python boundary. Each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "es": ["el", "la", "de", "los", "y", "en", "que"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "de", "une"],
+}
+
+EN_STOPWORDS = LANG_PROFILES["en"]
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len) — whitespace tokens."""
+    w = F.split(F.col(text_col), " ")
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.round(
+            F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast(
+                "double"
+            )
+            / F.size(w),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, stopword_ratio, distinct_ratio, quality):
+    length/stopword/repetition heuristics in one codegen'd projection.
+
+    quality = 0.4·min(n_tokens/50, 1) + 0.3·(1 − |stop_ratio − 0.4|)
+            + 0.3·distinct_ratio, rounded to 4.
+    """
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    stop_ratio = F.size(F.filter(w, lambda x: x.isin(*EN_STOPWORDS))) / n
+    distinct_ratio = F.size(F.array_distinct(w)) / n
+    quality = (
+        F.lit(0.4) * F.least(n / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4)))
+        + F.lit(0.3) * distinct_ratio
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def detect_language(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, {lang}_hits…, pred_lang): stopword-profile argmax with
+    deterministic tie-break (profile order, then 'und' when all zero)."""
+    w = F.split(F.col(text_col), " ")
+
+    def hits(vocab):
+        # factory, not default-arg lambda: F.filter inspects lambda arity
+        return F.size(F.filter(w, lambda x: x.isin(*vocab)))
+
+    hit_cols = {lang: hits(vocab) for lang, vocab in LANG_PROFILES.items()}
+    langs = list(LANG_PROFILES)
+    # argmax with ties broken by profile order (en before es before …):
+    # scan lowest-priority first; >= lets higher-priority langs take ties
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in reversed(langs):
+        cond = (hit_cols[lang] >= best_hits) & (hit_cols[lang] > 0)
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.greatest(hit_cols[lang], best_hits)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *[hit_cols[lang].cast("long").alias(f"{lang}_hits") for lang in langs],
+        best.alias("pred_lang"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, content_hash, bag_fp, prefix_fp): three fingerprints —
+    exact content, order-insensitive bag, and first-8-token prefix (the
+    cheap streaming-dedup key)."""
+    w = F.split(F.col(text_col), " ")
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(w)))
+        ).alias("bag_fp"),
+        F.md5(F.concat_ws(" ", F.slice(w, 1, 8))).alias("prefix_fp"),
+    )

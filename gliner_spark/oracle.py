@@ -186,3 +186,190 @@ def kg_edges_sql() -> str:
 SELECT subj, subj_label, pred, obj, obj_label,
        COUNT(*) AS support, ROUND(MAX(prob), 4) AS max_prob
 FROM base GROUP BY subj, subj_label, pred, obj, obj_label"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline oracles (dedup / similarity / textstats / multimodal)
+# ---------------------------------------------------------------------------
+
+def dedup_exact_sql() -> str:
+    """Mirrors operators/dedup.exact_dup_groups."""
+    return """
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS content_hash
+  FROM documents
+),
+g AS (
+  SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS group_size,
+         MIN(doc_id) AS keep_id
+  FROM h GROUP BY content_hash
+)
+SELECT h.doc_id, h.content_hash, g.group_size,
+       h.doc_id = g.keep_id AS keep
+FROM h JOIN g USING (content_hash)"""
+
+
+def fingerprints_sql() -> str:
+    """Mirrors operators/textstats.doc_fingerprints."""
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(text) AS content_hash,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                           ' ')) AS bag_fp,
+       md5(array_to_string(list_slice(string_split(text, ' '), 1, 8),
+                           ' ')) AS prefix_fp
+FROM documents"""
+
+
+def dedup_ngram_sql(k: int = 3, threshold: float = 0.8) -> str:
+    """Mirrors operators/dedup.ngram_jaccard_dups."""
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS sid, string_split(text, ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT sid,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - {k - 1}, 1)),
+           i -> array_to_string(list_slice(w, i, i + {k - 1}), ' '))) AS g
+  FROM w
+),
+e AS (SELECT sid, len(g) AS n, unnest(g) AS s FROM sh),
+p AS (
+  SELECT a.sid AS src, b.sid AS dst, a.n AS na, b.n AS nb,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM e a JOIN e b ON a.s = b.s AND a.sid < b.sid
+  GROUP BY 1, 2, 3, 4
+)
+SELECT src, dst, ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS sim
+FROM p
+WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= {threshold}"""
+
+
+def embedding_dups_sql(threshold: float = 0.40) -> str:
+    """Mirrors operators/similarity.embedding_dup_pairs."""
+    return f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS src, b.vec_id AS dst,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {threshold}"""
+
+
+ANN_QUERY_IDS = list(range(8))
+ANN_TOPK = 5
+
+
+def ann_topk_sql(query_ids=None, k: int = ANN_TOPK) -> str:
+    """Mirrors operators/similarity.brute_force_topk."""
+    ids = ", ".join(str(i) for i in (query_ids or ANN_QUERY_IDS))
+    return f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
+  FROM c q JOIN c ON q.vec_id IN ({ids}) AND c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+FROM r WHERE rank <= {k}"""
+
+
+def token_stats_sql() -> str:
+    """Mirrors operators/textstats.token_stats."""
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       ROUND(CAST(list_sum(list_transform(string_split(text, ' '),
+                                          x -> length(x))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS avg_token_len
+FROM documents"""
+
+
+def _sw_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def quality_sql() -> str:
+    """Mirrors operators/textstats.quality_score."""
+    from .operators.textstats import EN_STOPWORDS
+
+    sw = _sw_list(EN_STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS w
+  FROM documents
+),
+r AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(w, x -> list_contains({sw}, x))) AS DOUBLE)
+           / len(w) AS stop_ratio,
+         CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio
+  FROM w
+)
+SELECT doc_id, n_tokens,
+       ROUND(stop_ratio, 4) AS stopword_ratio,
+       ROUND(distinct_ratio, 4) AS distinct_ratio,
+       ROUND(0.4 * least(n_tokens / 50.0, 1.0)
+             + 0.3 * (1.0 - abs(stop_ratio - 0.4))
+             + 0.3 * distinct_ratio, 4) AS quality
+FROM r"""
+
+
+def lang_id_sql() -> str:
+    """Mirrors operators/textstats.detect_language (argmax with
+    profile-order tie-break)."""
+    from .operators.textstats import LANG_PROFILES
+
+    hits = ",\n         ".join(
+        f"CAST(len(list_filter(w, x -> list_contains("
+        f"{_sw_list(v)}, x))) AS BIGINT) AS {lang}_hits"
+        for lang, v in LANG_PROFILES.items()
+    )
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         {hits}
+  FROM w
+)
+SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+       CASE
+         WHEN en_hits > 0 AND en_hits >= greatest(es_hits, de_hits, fr_hits)
+           THEN 'en'
+         WHEN es_hits > 0 AND es_hits >= greatest(de_hits, fr_hits) THEN 'es'
+         WHEN de_hits > 0 AND de_hits >= fr_hits THEN 'de'
+         WHEN fr_hits > 0 THEN 'fr'
+         ELSE 'und'
+       END AS pred_lang
+FROM h"""
+
+
+def mm_meta_sql() -> str:
+    """Mirrors operators/multimodal.attach_media + media_metadata."""
+    return """
+WITH m AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         (['image', 'audio', 'video'])[(doc_id % 3 + 1)] AS kind,
+         text || '|' || (['image', 'audio', 'video'])[(doc_id % 3 + 1)]
+           AS mtxt
+  FROM documents
+)
+SELECT doc_id, kind,
+       CAST(octet_length(encode(mtxt)) AS BIGINT) AS n_bytes,
+       sha256(mtxt) AS sha
+FROM m"""

@@ -1,0 +1,124 @@
+"""Dedup + similarity operators: recall of approximate paths vs exact
+baselines on the driver's sf0.001 testdata, and determinism goldens."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gliner_spark.operators.dedup import (
+    _simhash64,
+    exact_dup_groups,
+    hash_str_64,
+    minhash_dups,
+    ngram_jaccard_dups,
+    simhash_dups,
+)
+from gliner_spark.operators.multimodal import (
+    attach_media,
+    extract_features,
+    media_metadata,
+    sample_frames,
+)
+from gliner_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_dup_pairs,
+    hyperplane_lsh_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from gliner_spark.session import build_session
+
+    s = build_session(app_name="gliner-tests", cores=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_all_unique_and_total(docs):
+    out = exact_dup_groups(docs)
+    assert out.count() == docs.count()
+    assert out.where(~F.col("keep")).count() == out.where(
+        F.col("group_size") > 1
+    ).count() - out.where((F.col("group_size") > 1) & F.col("keep")).count()
+
+
+def test_minhash_recall_vs_exact_ngram(docs):
+    exact = {(r.src, r.dst) for r in ngram_jaccard_dups(docs).collect()}
+    mh = {(r.src, r.dst) for r in minhash_dups(docs).collect()}
+    assert exact, "testdata should contain seeded near-duplicates"
+    assert mh <= exact or not (mh - exact), "minhash verified pairs ⊆ exact"
+    recall = len(mh & exact) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall}"
+
+
+def test_simhash_deterministic_and_catches_dups(docs):
+    # kernel determinism (FNV + bit votes are process-independent)
+    assert hash_str_64("spark") == hash_str_64("spark")
+    assert _simhash64(["a", "b"]) == _simhash64(["a", "b"])
+    assert _simhash64([]) == 0
+    exact = {(r.src, r.dst) for r in ngram_jaccard_dups(docs).collect()}
+    sh = {(r.src, r.dst) for r in simhash_dups(docs).collect()}
+    # near-identical docs have near-identical simhashes: high recall of
+    # the seeded dups (precision is the verifier stage's job)
+    recall = len(sh & exact) / len(exact)
+    assert recall >= 0.9, f"simhash recall {recall}"
+
+
+def test_ann_lsh_recall_vs_brute_force(emb):
+    qids = list(range(8))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in hyperplane_lsh_topk(emb, qids, k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"ANN-LSH top-5 recall {recall}"
+
+
+def test_brute_force_topk_shape(emb):
+    out = brute_force_topk(emb, [0, 1], k=3).collect()
+    assert len(out) == 6
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        sims = [r.sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_embedding_dups_symmetric_free(emb):
+    pairs = embedding_dup_pairs(emb, threshold=0.35).collect()
+    assert all(r.src < r.dst for r in pairs)
+
+
+def test_multimodal_plumbing(docs):
+    media = attach_media(docs)
+    meta = media_metadata(media)
+    row = meta.orderBy("doc_id").first()
+    assert row.n_bytes > 0 and len(row.sha) == 64
+    feats = extract_features(media, dim=16)
+    f0 = feats.orderBy("doc_id").first()
+    assert len(f0.feature) == 16
+    # determinism: same input → same features
+    f1 = extract_features(media, dim=16).orderBy("doc_id").first()
+    assert f0.feature == f1.feature
+    frames = sample_frames(media, frame_bytes=32, every_nth=4)
+    fr = frames.groupBy("doc_id").count().first()
+    assert fr["count"] > 0
