@@ -22,6 +22,11 @@ from gliner_spark.operators.linking import (
     exact_jaccard_links,
     lsh_links,
 )
+from gliner_spark.operators.events import (
+    hourly_rollup,
+    sessionize,
+    top_users_by_type,
+)
 from gliner_spark.operators.dedup import (
     exact_dup_groups,
     minhash_dups,
@@ -152,6 +157,22 @@ def q_mm_features(spark, sf_dir):
     )
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_sessionize(spark, sf_dir):
+    return sessionize(_events(spark, sf_dir))
+
+
+def q_hourly_rollup(spark, sf_dir):
+    return hourly_rollup(_events(spark, sf_dir))
+
+
+def q_top_users(spark, sf_dir):
+    return top_users_by_type(_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages → NER mentions → relation triples at sf0.001."""
     pages = pages_from_documents(spark, "/root/testdata/sf0.001")
@@ -180,6 +201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "mm_meta": q_mm_meta,
         "mm_features": q_mm_features,
+        "sessionize": q_sessionize,
+        "hourly_rollup": q_hourly_rollup,
+        "top_users": q_top_users,
     }
 
 
@@ -199,4 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracle.lang_id_sql(),
         "fingerprints": oracle.fingerprints_sql(),
         "mm_meta": oracle.mm_meta_sql(),
+        "sessionize": oracle.sessionize_sql(),
+        "hourly_rollup": oracle.hourly_rollup_sql(),
+        "top_users": oracle.top_users_sql(),
     }

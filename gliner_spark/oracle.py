@@ -373,3 +373,60 @@ SELECT doc_id, kind,
        CAST(octet_length(encode(mtxt)) AS BIGINT) AS n_bytes,
        sha256(mtxt) AS sha
 FROM m"""
+
+
+# ---------------------------------------------------------------------------
+# event analytics oracles (operators/events.py)
+# ---------------------------------------------------------------------------
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    """Mirrors operators/events.sessionize."""
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > {gap_minutes * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       ROUND(SUM(value), 4) AS total_value
+FROM sessioned GROUP BY user_id, session_id"""
+
+
+def hourly_rollup_sql() -> str:
+    """Mirrors operators/events.hourly_rollup."""
+    return """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2"""
+
+
+def top_users_sql(k: int = 3) -> str:
+    """Mirrors operators/events.top_users_by_type."""
+    return f"""
+WITH per_user AS (
+  SELECT event_type, user_id, ROUND(SUM(value), 4) AS total_value
+  FROM events GROUP BY event_type, user_id
+),
+r AS (
+  SELECT event_type, user_id, total_value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY total_value DESC, user_id) AS rank
+  FROM per_user
+)
+SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, total_value
+FROM r WHERE rank <= {k}"""

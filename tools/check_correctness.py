@@ -32,6 +32,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             pass
         elif np.issubdtype(df[c].dtype, np.integer):
             df[c] = df[c].astype("int64")
+        elif np.issubdtype(df[c].dtype, np.datetime64):
+            s = df[c]
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
         drop=True
     )
