@@ -1,0 +1,80 @@
+"""Streaming NER: parity with the batch operator over the same files."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gliner_spark.kernels.scorer import ALL_LABELS
+from gliner_spark.operators.ner import extract_mentions
+from gliner_spark.sources.pages import synthesize_pages
+from gliner_spark.streaming.ner_stream import (
+    read_page_stream,
+    run_to_table,
+    stream_hourly_mentions,
+    stream_mentions,
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from gliner_spark.session import build_session
+
+    s = build_session(app_name="gliner-tests", cores=4)
+    yield s
+    s.stop()
+
+
+def test_stream_mentions_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "mentions_out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = synthesize_pages(spark, 150)
+    pages.repartition(4).write.parquet(src)
+
+    batch = extract_mentions(spark.read.parquet(src), ALL_LABELS)
+    expected = sorted(
+        (r.doc_id, r.m_start, r.m_end, r.m_text, r.label)
+        for r in batch.collect()
+    )
+
+    stream = stream_mentions(read_page_stream(spark, src), ALL_LABELS)
+    assert stream.isStreaming
+    run_to_table(stream, out, ckpt)
+    got = sorted(
+        (r.doc_id, r.m_start, r.m_end, r.m_text, r.label)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == expected and len(got) > 0
+
+    # incremental restart: new files only (resume from stream checkpoint)
+    synthesize_pages(spark, 40).withColumn(
+        "url", F.concat(F.lit("b-"), F.col("url"))
+    ).write.mode("append").parquet(src)
+    run_to_table(
+        stream_mentions(read_page_stream(spark, src), ALL_LABELS), out, ckpt
+    )
+    n_after = spark.read.parquet(out).count()
+    assert n_after > len(got)
+    # no duplicated processing of the original files
+    n_batch_all = extract_mentions(spark.read.parquet(src), ALL_LABELS).count()
+    assert n_after == n_batch_all
+
+
+def test_stream_windowed_counts(spark, tmp_path):
+    src = str(tmp_path / "pages2")
+    synthesize_pages(spark, 100).write.parquet(src)
+    agg = stream_hourly_mentions(read_page_stream(spark, src), ALL_LABELS)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hourly_mentions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from hourly_mentions").collect()
+    assert rows
+    total_stream = sum(r.n_mentions for r in rows)
+    total_batch = extract_mentions(
+        spark.read.parquet(src), ALL_LABELS
+    ).count()
+    assert total_stream == total_batch
