@@ -39,6 +39,7 @@ from gliner_spark.operators.multimodal import (
     media_metadata,
 )
 from gliner_spark.operators.ner import extract_mentions
+from gliner_spark.operators.ner_fused import extract_triples_fused
 from gliner_spark.operators.relations import aggregate_edges, extract_relations
 from gliner_spark.operators.similarity import (
     brute_force_topk,
@@ -70,6 +71,14 @@ def q_ner_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ner_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_relations(_mentions(spark, sf_dir))
+
+
+def q_ner_triples_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-pass fused NER+relations — must equal the modular join
+    # formulation, so it shares the ner_triples oracle
+    return extract_triples_fused(
+        _documents(spark, sf_dir), SOUP_LABELS, id_col="doc_id"
+    )
 
 
 def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ner_mentions": q_ner_mentions,
         "ner_triples": q_ner_triples,
+        "ner_triples_fused": q_ner_triples_fused,
         "kg_edges": q_kg_edges,
         "kg_links": q_kg_links,
         "kg_links_lsh": q_kg_links_lsh,
@@ -211,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ner_mentions": oracle.ner_mentions_sql(),
         "ner_triples": oracle.ner_triples_sql(),
+        "ner_triples_fused": oracle.ner_triples_sql(),
         "kg_edges": oracle.kg_edges_sql(),
         "kg_links": oracle.kg_links_sql(),
         "kg_nodes": oracle.kg_nodes_sql(),

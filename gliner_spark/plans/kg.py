@@ -61,6 +61,11 @@ def build_kg(
             "mentions",
             lineage={"labels": list(labels)},
         )
+    else:
+        # mentions feed BOTH the relation self-join (two branches) and
+        # the surface aggregation; without materialization every consumer
+        # re-runs the scoring mapInPandas — persist once instead
+        mentions = mentions.persist()
 
     # one explicit repartition reused by the relation self-join (both
     # sides co-partitioned on doc_id → single shuffle, local join)

@@ -1,0 +1,123 @@
+"""Plan audit: prints formatted physical plans for the key operators and
+greps for the properties that matter at 100 TB — predicate/column
+pushdown into the parquet scan, broadcast joins on small sides, and
+whole-stage codegen coverage. Run:  python tools/explain_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gliner_spark.kernels.scorer import SOUP_LABELS  # noqa: E402
+from gliner_spark.operators.linking import (  # noqa: E402
+    entity_surfaces,
+    lsh_links,
+)
+from gliner_spark.operators.ner import extract_mentions  # noqa: E402
+from gliner_spark.operators.relations import extract_relations  # noqa: E402
+from gliner_spark.session import build_session  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def executed_plan_of(df) -> str:
+    """Final (post-AQE) physical plan — the only place codegen `*(n)`
+    markers appear once adaptive execution is on."""
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def check(name: str, plan: str, expects: dict[str, bool]):
+    print(f"\n=== {name} ===")
+    ok = True
+    for needle, want in expects.items():
+        has = needle in plan
+        status = "OK " if has == want else "BAD"
+        if has != want:
+            ok = False
+        print(f"  [{status}] {'contains' if want else 'absent '} {needle!r}"
+              f" -> {has}")
+    if not ok:
+        print(plan)
+    return ok
+
+
+def main() -> int:
+    spark = build_session(cores=8)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bad = 0
+
+    # 1. NER: column pruning — only doc_id+text read; no shuffle at all
+    m = extract_mentions(docs, SOUP_LABELS, id_col="doc_id")
+    p = plan_of(m)
+    bad += not check(
+        "ner_mentions (column pruning, shuffle-free)",
+        p,
+        {
+            "ReadSchema: struct<doc_id:bigint,text:string>": True,
+            "Exchange": False,  # no shuffle in the NER stage
+            "ArrowEvalPython": False,  # mapInPandas, not per-row python
+        },
+    )
+
+    # 2. filter pushdown reaches the scan through mapInPandas inputs
+    flt = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    p = plan_of(flt)
+    bad += not check(
+        "filtered scan (predicate pushdown)",
+        p,
+        {"PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]": True},
+    )
+
+    # 3. relations: rule table broadcast; single doc_id shuffle reused;
+    # codegen markers only visible on the executed (final) AQE plan
+    t = extract_relations(m.repartition("doc_id"))
+    p = executed_plan_of(t)
+    bad += not check(
+        "ner_triples (broadcast rules, codegen join)",
+        p,
+        {"BroadcastHashJoin": True, "*(": True},
+    )
+
+    # 4. linking LSH: JVM-only signature computation (no Python stage)
+    links = lsh_links(entity_surfaces(m))
+    p = executed_plan_of(links)
+    bad += not check(
+        "kg_links_lsh (JVM-side minhash)",
+        p,
+        {"ArrowEvalPython": False, "BatchEvalPython": False, "*(": True},
+    )
+
+    # 5. TPC-H-style join: small dim broadcast without hints
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).groupBy(
+        "c_mktsegment"
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    p = plan_of(j)
+    bad += not check(
+        "orders x customer (auto broadcast)",
+        p,
+        {"BroadcastHashJoin": True},
+    )
+
+    spark.stop()
+    print(f"\n{'ALL PLANS OK' if not bad else f'{bad} PLAN CHECKS FAILED'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
