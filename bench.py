@@ -31,11 +31,11 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_N = int(os.environ.get("BENCH_SCALING_N", "8"))
+SCALING_N = int(os.environ.get("BENCH_SCALING_N", "2"))
 # the scaling/throughput job needs enough work to amortize fixed costs at
 # 4N cores; synthesized deterministically (seed=42), identical at both
 # parallelism levels
-SCALING_PAGES = int(os.environ.get("BENCH_SCALING_PAGES", "60000"))
+SCALING_PAGES = int(os.environ.get("BENCH_SCALING_PAGES", "500000"))
 
 HEADLINE = [
     "ner_mentions",
@@ -93,7 +93,9 @@ def run_worker(cores: int, sf_dir: str, names: list[str]) -> dict:
         # sized to amortize fixed costs (the N-vs-4N measurement target);
         # fused single-pass operator: scan → Python stage → sink, the
         # shape the 100 TB flagship job has
-        pages = synthesize_pages(spark, SCALING_PAGES).repartition(cores * 2)
+        pages = synthesize_pages(
+            spark, SCALING_PAGES, num_partitions=cores * 2
+        )
         return extract_triples_fused(pages, ALL_LABELS, id_col="url")
 
     special = {SCALING_QUERY: kg_pipeline, SCALE_JOB: scale_pipeline}

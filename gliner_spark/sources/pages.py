@@ -84,7 +84,8 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def synthesize_pages(
-    spark: SparkSession, n_rows: int = 1000, seed: int = 42
+    spark: SparkSession, n_rows: int = 1000, seed: int = 42,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Seeded page generator: golden rows first, then word-soup pages over
     the gazetteer vocabulary with skewed domains.
@@ -99,9 +100,9 @@ def synthesize_pages(
     vocab_arr = F.array(*[F.lit(w) for w in vocab])
     n_vocab = len(vocab)
 
-    base = spark.range(0, n_rows).withColumn(
-        "h", F.abs(F.xxhash64(F.col("id"), F.lit(seed)))
-    )
+    base = spark.range(
+        0, n_rows, 1, num_partitions or spark.sparkContext.defaultParallelism
+    ).withColumn("h", F.abs(F.xxhash64(F.col("id"), F.lit(seed))))
     # 30% of rows land on 3 hot domains (skew exerciser), rest spread
     domain = F.when(
         (F.col("h") % 10) < 3,
