@@ -214,3 +214,56 @@ def make_scorer(
         except ImportError:
             pass
     return SurrogateScorer(max_width)
+
+
+class TokenSurrogateScorer:
+    """Token-level surrogate: start/end/inside logits per word
+    (reference token models output shape (3, B, numWords, numEntities);
+    /root/reference/src/decoder.cpp:137-159). Gazetteer occurrences set
+    start at the first word, end at the last, inside on every word.
+
+    The inside logit is a per-LABEL constant (max prob of the label's
+    entries): the reference's end-walk skips low-end words without
+    breaking (decoder.cpp:160-164), so two same-label occurrences chain
+    into a spurious long span whose prob is the mean of inside scores —
+    with a per-label constant that mean ties the leftmost single span and
+    greedy keeps the single (strict < at decoder.cpp:54). Nested
+    same-label phrases still resolve leftmost-shortest rather than
+    highest-prob; span-level is the primary mode, this is the faithful
+    phase-2 decode (SURVEY.md §3.2)."""
+
+    def __init__(self):
+        self._by_first: Dict[str, List[Tuple[Tuple[str, ...], str, float]]] = {}
+        label_max: Dict[str, float] = {}
+        for phrase, label, prob in GAZETTEER:
+            self._by_first.setdefault(phrase[0], []).append(
+                (phrase, label, logit_of(prob))
+            )
+            label_max[label] = max(label_max.get(label, 0.0), prob)
+        self._inside_logit = {
+            lab: logit_of(p) for lab, p in label_max.items()
+        }
+
+    def score_tokens(
+        self,
+        batch_tokens: Sequence[Sequence[Token]],
+        labels: Sequence[str],
+    ) -> List[np.ndarray]:
+        lab_idx = {l: i for i, l in enumerate(labels)}
+        out: List[np.ndarray] = []
+        for tokens in batch_tokens:
+            n = len(tokens)
+            logits = np.full((3, n, len(labels)), NEG_LOGIT, dtype=np.float32)
+            words = [t[2] for t in tokens]
+            for i, w in enumerate(words):
+                for phrase, label, lg in self._by_first.get(w, ()):
+                    li = lab_idx.get(label)
+                    if li is None or i + len(phrase) > n:
+                        continue
+                    if all(words[i + k] == phrase[k] for k in range(1, len(phrase))):
+                        logits[0, i, li] = lg                       # start
+                        logits[1, i + len(phrase) - 1, li] = lg     # end
+                        for k in range(len(phrase)):                # inside
+                            logits[2, i + k, li] = self._inside_logit[label]
+            out.append(logits)
+        return out

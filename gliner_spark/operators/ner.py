@@ -26,9 +26,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import GlinerConfig
+from ..config import TOKEN_LEVEL, GlinerConfig
 from ..kernels.pipeline import ner_documents
-from ..kernels.scorer import SurrogateScorer
+from ..kernels.scorer import SurrogateScorer, TokenSurrogateScorer
 from ..schemas import MENTIONS
 
 
@@ -46,24 +46,19 @@ def extract_mentions(
     the scorer (the reference folds them into the prompt,
     /root/reference/src/processor.cpp:33-49)."""
     labels = list(labels)
-    max_width = config.max_width
-    threshold = config.threshold
-    flat_ner = config.flat_ner
-    multi_label = config.multi_label
-    factory = scorer_factory or (lambda: SurrogateScorer(max_width))
+    cfg = config
+    if scorer_factory is None:
+        if cfg.model_type == TOKEN_LEVEL:
+            scorer_factory = TokenSurrogateScorer
+        else:
+            scorer_factory = lambda mw=cfg.max_width: SurrogateScorer(mw)  # noqa: E731
+    factory = scorer_factory
 
     src = pages.select(
         F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
     )
     if length_sort:
         src = src.sortWithinPartitions(F.length("text"))
-
-    cfg = GlinerConfig(
-        max_width=max_width,
-        threshold=threshold,
-        flat_ner=flat_ner,
-        multi_label=multi_label,
-    )
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         scorer = factory()  # once per task; sessions cache per process

@@ -1,0 +1,89 @@
+"""Skew handling: hot-key detection + salted joins.
+
+The north star calls for skewed domains to be salted before the
+link-scoring shuffle (BASELINE.json). AQE's skew-join splitting covers
+sort-merge joins it can see, but not aggregations feeding
+``applyInPandas`` groups or joins hidden behind round-trips — there an
+explicit salt is the answer (SURVEY.md §4):
+
+- ``hot_keys``: one cheap aggregation pass returning keys whose row
+  count exceeds a threshold (at 10^12 rows run it on a sample:
+  ``df.sample(0.001)`` with the threshold scaled — same API).
+- ``salted_equi_join``: big side gets a random-but-deterministic salt in
+  [0, n_salts) on hot keys (0 on cold); small side is exploded ×n_salts
+  for hot keys only. Join on (key, salt). Result set identical to the
+  plain join; the hot key's rows now spread over n_salts reducers.
+- ``salted_group_count``: two-phase aggregation (partial by (key, salt),
+  final by key) for skewed groupBys whose aggregate is reassociable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hot_keys(df: DataFrame, key: str, threshold: int) -> DataFrame:
+    """Keys with more than ``threshold`` rows. One shuffle, tiny output."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > threshold)
+        .select(key)
+    )
+
+
+def salted_equi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    threshold: int = 100_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with per-hot-key salting; output ≡ ``big.join(small,
+    key, how)`` for inner/left joins on the big side.
+
+    The salt is derived from a per-row hash (xxhash64 of all big-side
+    columns + a monotonic fallback), so it is deterministic, needs no
+    state, and spreads a hot key uniformly.
+    """
+    hk = hot_keys(big, key, threshold).withColumn("_hot", F.lit(True))
+
+    b = big.join(F.broadcast(hk), key, "left").withColumn(
+        "_salt",
+        F.when(
+            F.col("_hot").isNotNull(),
+            F.pmod(
+                F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("_hot")
+
+    s = small.join(F.broadcast(hk), key, "left").withColumn(
+        "_salts",
+        F.when(
+            F.col("_hot").isNotNull(),
+            F.sequence(F.lit(0), F.lit(n_salts - 1)),
+        ).otherwise(F.array(F.lit(0))),
+    ).drop("_hot")
+    s = s.withColumn("_salt", F.explode("_salts")).drop("_salts")
+
+    return b.join(s, [key, "_salt"], how).drop("_salt")
+
+
+def salted_group_count(
+    df: DataFrame, key: str, n_salts: int = 8
+) -> DataFrame:
+    """Skew-proof ``groupBy(key).count()``: partial count by (key, salt)
+    then final sum by key. (Spark's hash agg already does map-side
+    partials; this pattern matters for ``applyInPandas``-style groups and
+    is kept as the template for them.)"""
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)),
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        F.count(F.lit(1)).alias("_partial")
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").alias("n"))

@@ -1,0 +1,109 @@
+"""Token-level NER, chunking extension, and skew-salting tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gliner_spark.config import TOKEN_LEVEL, GlinerConfig
+from gliner_spark.kernels.pipeline import ner_documents
+from gliner_spark.kernels.scorer import (
+    ALL_LABELS,
+    GOLDEN_LABELS,
+    SurrogateScorer,
+    TokenSurrogateScorer,
+)
+from gliner_spark.operators.ner import extract_mentions
+from gliner_spark.operators.skew import hot_keys, salted_equi_join
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from gliner_spark.session import build_session
+
+    s = build_session(app_name="gliner-tests", cores=4)
+    yield s
+    s.stop()
+
+
+# --- token-level decode path (reference TokenProcessor/TokenDecoder) ---
+def test_token_level_kyiv_golden():
+    cfg = GlinerConfig(model_type=TOKEN_LEVEL)
+    out = ner_documents(
+        ["Kyiv is the capital of Ukraine."],
+        GOLDEN_LABELS,
+        TokenSurrogateScorer(),
+        cfg,
+    )[0]
+    assert [(s[0], s[1], s[2], s[3]) for s in out] == [
+        (0, 4, "Kyiv", "city"),
+        (23, 30, "Ukraine", "country"),
+    ]
+
+
+def test_token_level_matches_span_level_on_soup():
+    texts = [
+        "spark join table big data stream",
+        "the scan merge row query window",
+    ]
+    span_out = ner_documents(texts, ALL_LABELS, SurrogateScorer(12))
+    cfg = GlinerConfig(model_type=TOKEN_LEVEL)
+    tok_out = ner_documents(texts, ALL_LABELS, TokenSurrogateScorer(), cfg)
+    for a, b in zip(span_out, tok_out):
+        assert [(s[0], s[1], s[2], s[3]) for s in a] == [
+            (s[0], s[1], s[2], s[3]) for s in b
+        ]
+
+
+def test_token_level_spark_operator(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    span_m = extract_mentions(docs, ["operator", "artifact"], id_col="doc_id")
+    tok_m = extract_mentions(
+        docs,
+        ["operator", "artifact"],
+        id_col="doc_id",
+        config=GlinerConfig(model_type=TOKEN_LEVEL),
+    )
+    a = sorted(map(tuple, span_m.drop("prob").collect()))
+    b = sorted(map(tuple, tok_m.drop("prob").collect()))
+    assert a == b and len(a) > 0
+
+
+# --- chunking extension (SURVEY.md §1.4) ---
+def test_chunking_matches_unchunked():
+    base = "spark join table big data stream the scan merge row "
+    text = base * 40  # 400 words ≫ chunk size
+    no_chunk = ner_documents([text], ALL_LABELS, SurrogateScorer(12))[0]
+    cfg = GlinerConfig(chunk_words=64, chunk_overlap=16)
+    chunked = ner_documents([text], ALL_LABELS, SurrogateScorer(12), cfg)[0]
+    assert chunked == no_chunk
+    assert len(chunked) > 100
+
+
+def test_chunking_off_by_default():
+    cfg = GlinerConfig()
+    assert cfg.chunk_words == 0  # reference no-truncation parity
+
+
+# --- skew salting ---
+def test_salted_join_equals_plain_join(spark):
+    # 1 hot key (80% of rows) + cold tail
+    big = spark.range(0, 20000).select(
+        F.when(F.col("id") % 5 < 4, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string")))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("k2", 3), ("missing", 9)], "k string, w int"
+    )
+    plain = big.join(small, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    salted = salted_equi_join(big, small, "k", n_salts=4, threshold=1000)
+    got = salted.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, got.collect())
+    )
+    hot = hot_keys(big, "k", 1000).collect()
+    assert [r.k for r in hot] == ["hot"]
