@@ -38,6 +38,13 @@ from gliner_spark.operators.multimodal import (
     extract_features,
     media_metadata,
 )
+from gliner_spark.operators.relational import (
+    RELATIONAL_SQL,
+    customers_without_orders,
+    pricing_summary,
+    revenue_rollup,
+    top_nation_revenue,
+)
 from gliner_spark.operators.ner import extract_mentions
 from gliner_spark.operators.ner_fused import extract_triples_fused
 from gliner_spark.operators.relations import aggregate_edges, extract_relations
@@ -214,6 +221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "hourly_rollup": q_hourly_rollup,
         "top_users": q_top_users,
+        "tpch_pricing": pricing_summary,
+        "tpch_rollup": revenue_rollup,
+        "tpch_top_nations": top_nation_revenue,
+        "tpch_no_orders": customers_without_orders,
     }
 
 
@@ -237,4 +248,5 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": oracle.sessionize_sql(),
         "hourly_rollup": oracle.hourly_rollup_sql(),
         "top_users": oracle.top_users_sql(),
+        **RELATIONAL_SQL,
     }
