@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .linking import _pair_counts, minhash_signature
+from .linking import (
+    _pair_counts,
+    hash_shingles,
+    minhash_signature_agg,
+)
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
@@ -134,11 +138,14 @@ def minhash_dups(
         F.col(id_col).cast("long").alias("sid"),
         word_shingles(F.col(text_col), k).alias("sh"),
     ).select("sid", "sh", F.size("sh").alias("n_sh"))
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), n_perms, seed))
+    hashed = sh.select(
+        "sid", F.explode(hash_shingles(F.col("sh"))).alias("h")
+    )
+    sig = minhash_signature_agg(hashed, ["sid"], n_perms, seed)
+    # band keys only — the candidate join must not drag the shingle
+    # arrays through its shuffle (they rejoin below, candidate set ≪ docs)
     banded = sig.select(
         "sid",
-        "n_sh",
-        "sh",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -162,18 +169,22 @@ def minhash_dups(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.sid") < F.col("b.sid")),
         )
-        .select(
-            F.col("a.sid").alias("src"),
-            F.col("b.sid").alias("dst"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.sh").alias("sh_b"),
-            F.col("b.n_sh").alias("n_b"),
-        )
+        .select(F.col("a.sid").alias("src"), F.col("b.sid").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
+    sh_a = sh.select(
+        F.col("sid").alias("src"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sh_b = sh.select(
+        F.col("sid").alias("dst"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    verified = cand.join(sh_a, "src").join(sh_b, "dst")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return cand.select(
+    return verified.select(
         "src",
         "dst",
         F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 6).alias("sim"),
