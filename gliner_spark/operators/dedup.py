@@ -33,6 +33,7 @@ from .linking import (
     hash_shingles,
     minhash_signature_agg,
 )
+from .util import ensure_parallelism
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
@@ -90,6 +91,7 @@ def word_shingles(text_col, k: int = 3):
 
 def _doc_shingle_exploded(docs: DataFrame, id_col: str, text_col: str,
                           k: int) -> DataFrame:
+    docs = ensure_parallelism(docs)
     sh = docs.select(
         F.col(id_col).cast("long").alias("sid"),
         word_shingles(F.col(text_col), k).alias("sh"),
@@ -134,6 +136,7 @@ def minhash_dups(
     band set; ≥1-of-32 collision prob ≈ 1 for J ≥ 0.8)."""
     assert n_perms % bands == 0
     rows = n_perms // bands
+    docs = ensure_parallelism(docs)
     sh = docs.select(
         F.col(id_col).cast("long").alias("sid"),
         word_shingles(F.col(text_col), k).alias("sh"),
@@ -231,8 +234,11 @@ def simhash_signatures(
     """(doc_id, simhash) via an Arrow-batched pandas stage — SimHash's
     bit-vote accumulation has no efficient SQL form, so this is a
     legitimate Pandas-UDF use (SURVEY.md §2.2 UDF surface)."""
-    src = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    src = ensure_parallelism(
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
     )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

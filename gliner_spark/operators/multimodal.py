@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .util import ensure_parallelism
+
 try:  # real decoders would live behind this gate
     import PIL  # noqa: F401
 
@@ -111,7 +113,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return ensure_parallelism(media).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, frame_bytes: int = 32,

@@ -30,6 +30,7 @@ from ..config import TOKEN_LEVEL, GlinerConfig
 from ..kernels.pipeline import ner_documents
 from ..kernels.scorer import SurrogateScorer, TokenSurrogateScorer
 from ..schemas import MENTIONS
+from .util import ensure_parallelism
 
 
 def extract_mentions(
@@ -54,8 +55,11 @@ def extract_mentions(
             scorer_factory = lambda mw=cfg.max_width: SurrogateScorer(mw)  # noqa: E731
     factory = scorer_factory
 
-    src = pages.select(
-        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
+    src = ensure_parallelism(
+        pages.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
     )
     if length_sort:
         src = src.sortWithinPartitions(F.length("text"))

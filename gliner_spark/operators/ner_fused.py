@@ -31,6 +31,7 @@ from ..kernels.pipeline import ner_documents
 from ..kernels.scorer import SurrogateScorer
 from ..schemas import TRIPLES
 from .relations import DEFAULT_RULES, DEFAULT_WINDOW_BYTES
+from .util import ensure_parallelism
 
 
 def relations_for_doc(
@@ -71,9 +72,11 @@ def extract_triples_fused(
     rule_map = {(s, o): p for s, o, p in rules}
     factory = scorer_factory or (lambda: SurrogateScorer(config.max_width))
 
-    src = pages.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        F.col(text_col).alias("text"),
+    src = ensure_parallelism(
+        pages.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
