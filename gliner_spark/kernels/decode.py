@@ -69,11 +69,15 @@ def decode_span_logits(
     n_tok = len(tokens)
     if n_tok == 0 or logits.size == 0:
         return []
-    num_words, max_width, n_lab = logits.shape
-    probs = sigmoid(logits.astype(np.float32, copy=False))
-    # bounds: startToken < len(tokens) && endToken < len(tokens)
-    # (decoder.cpp:105-107)
-    cand = np.argwhere(probs >= threshold)  # row-major == generation order
+    logits = logits.astype(np.float32, copy=False)
+    # threshold in logit space first: sigmoid is monotonic, so
+    # sigmoid(x) >= t  ⟺  x >= logit(t); this skips the exp over the
+    # dense (num_words, max_width, n_labels) block and computes sigmoid
+    # only for surviving candidates (the hot-path win: candidates are
+    # sparse). 0 < t < 1 strictly, matching the reference's sigmoid-then-
+    # compare up to float monotonicity.
+    logit_t = np.float32(np.log(threshold / (1.0 - threshold)))
+    cand = np.argwhere(logits >= logit_t)  # row-major == generation order
     if cand.size == 0:
         return []
     starts = cand[:, 0]
@@ -82,9 +86,10 @@ def decode_span_logits(
     cand = cand[keep]
     if cand.size == 0:
         return []
+    probs = sigmoid(logits[cand[:, 0], cand[:, 1], cand[:, 2]])
     text_b = text.encode("utf-8")
     out: List[Span] = []
-    for s_w, width, lab in cand:
+    for (s_w, width, lab), p in zip(cand, probs):
         e_w = s_w + width
         bs = tokens[s_w][0]
         be = tokens[e_w][1]
@@ -94,7 +99,7 @@ def decode_span_logits(
                 int(be),
                 text_b[bs:be].decode("utf-8", errors="replace"),
                 labels[lab],
-                float(probs[s_w, width, lab]),
+                float(p),
             )
         )
     return out
