@@ -59,6 +59,7 @@ from gliner_spark.operators.textstats import (
     quality_score,
     token_stats,
 )
+from gliner_spark.plans.curation import curate
 from gliner_spark.sources.pages import pages_from_documents
 
 
@@ -173,6 +174,10 @@ def q_mm_features(spark, sf_dir):
     )
 
 
+def q_curate(spark, sf_dir):
+    return curate(_documents(spark, sf_dir))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -225,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_rollup": revenue_rollup,
         "tpch_top_nations": top_nation_revenue,
         "tpch_no_orders": customers_without_orders,
+        "curate": q_curate,
     }
 
 
@@ -249,4 +255,5 @@ def oracle_sql() -> dict[str, str]:
         "hourly_rollup": oracle.hourly_rollup_sql(),
         "top_users": oracle.top_users_sql(),
         **RELATIONAL_SQL,
+        "curate": oracle.curate_sql(),
     }

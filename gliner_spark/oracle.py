@@ -430,3 +430,111 @@ r AS (
 )
 SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, total_value
 FROM r WHERE rank <= {k}"""
+
+
+def curate_sql(
+    allowed_langs=("en",), min_quality: float = 0.5,
+    near_dup_threshold: float = 0.8, k: int = 3,
+) -> str:
+    """Mirrors plans/curation.curate (lang gate + quality gate + exact/
+    near dup suppression with recursive-CTE components)."""
+    from .operators.textstats import EN_STOPWORDS, LANG_PROFILES
+
+    langs_in = ", ".join(f"'{l}'" for l in allowed_langs)
+    sw = _sw_list(EN_STOPWORDS)
+    hits = ",\n         ".join(
+        f"len(list_filter(w, x -> list_contains({_sw_list(v)}, x)))"
+        f" AS {lang}_hits"
+        for lang, v in LANG_PROFILES.items()
+    )
+    return f"""
+WITH RECURSIVE
+w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         string_split(text, ' ') AS w
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         {hits}
+  FROM w
+),
+lang AS (
+  SELECT doc_id,
+         CASE
+           WHEN en_hits > 0 AND en_hits >= greatest(es_hits, de_hits, fr_hits)
+             THEN 'en'
+           WHEN es_hits > 0 AND es_hits >= greatest(de_hits, fr_hits)
+             THEN 'es'
+           WHEN de_hits > 0 AND de_hits >= fr_hits THEN 'de'
+           WHEN fr_hits > 0 THEN 'fr'
+           ELSE 'und'
+         END IN ({langs_in}) AS lang_ok
+  FROM h
+),
+qr AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(w, x -> list_contains({sw}, x))) AS DOUBLE)
+           / len(w) AS stop_ratio,
+         CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio
+  FROM w
+),
+qual AS (
+  SELECT doc_id,
+         ROUND(0.4 * least(n_tokens / 50.0, 1.0)
+               + 0.3 * (1.0 - abs(stop_ratio - 0.4))
+               + 0.3 * distinct_ratio, 4) >= {min_quality} AS quality_ok
+  FROM qr
+),
+eh AS (SELECT doc_id, md5(text) AS ch FROM w),
+eg AS (SELECT ch, MIN(doc_id) AS keep_id FROM eh GROUP BY ch),
+exact AS (
+  SELECT eh.doc_id, eh.doc_id <> eg.keep_id AS is_exact_dup
+  FROM eh JOIN eg USING (ch)
+),
+gsh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - {k - 1}, 1)),
+           i -> array_to_string(list_slice(w, i, i + {k - 1}), ' '))) AS g
+  FROM w
+),
+ge AS (SELECT doc_id, len(g) AS n, unnest(g) AS s FROM gsh),
+gp AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, a.n AS na, b.n AS nb,
+         COUNT(*) AS inter
+  FROM ge a JOIN ge b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT src, dst FROM gp
+  WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6)
+        >= {near_dup_threshold}
+),
+sym AS (
+  SELECT src AS a, dst AS b FROM pairs
+  UNION
+  SELECT dst AS a, src AS b FROM pairs
+),
+reach(node, root) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT node, MIN(root) AS dup_group FROM reach GROUP BY node),
+near AS (
+  SELECT w.doc_id,
+         comp.node IS NOT NULL AND comp.dup_group <> w.doc_id
+           AS is_near_dup
+  FROM w LEFT JOIN comp ON w.doc_id = comp.node
+)
+SELECT w.doc_id, lang.lang_ok, qual.quality_ok, exact.is_exact_dup,
+       near.is_near_dup,
+       lang.lang_ok AND qual.quality_ok AND NOT exact.is_exact_dup
+         AND NOT near.is_near_dup AS keep
+FROM w
+JOIN lang USING (doc_id)
+JOIN qual USING (doc_id)
+JOIN exact USING (doc_id)
+JOIN near USING (doc_id)"""
