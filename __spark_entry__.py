@@ -59,6 +59,7 @@ from gliner_spark.operators.textstats import (
     quality_score,
     token_stats,
 )
+from gliner_spark.operators.skew import salted_equi_join
 from gliner_spark.plans.curation import curate
 from gliner_spark.sources.pages import pages_from_documents
 
@@ -174,6 +175,28 @@ def q_mm_features(spark, sf_dir):
     )
 
 
+def q_skew_join(spark, sf_dir):
+    """Salted equi-join must be row-identical to the plain join (oracle
+    is the plain SQL join) while spreading hot keys over n_salts
+    reducers; threshold low enough that real keys go hot at sf0.01."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    return (
+        salted_equi_join(orders, cust, "k", n_salts=4, threshold=10)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def q_curate(spark, sf_dir):
     return curate(_documents(spark, sf_dir))
 
@@ -231,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_top_nations": top_nation_revenue,
         "tpch_no_orders": customers_without_orders,
         "curate": q_curate,
+        "skew_join": q_skew_join,
     }
 
 
@@ -256,4 +280,9 @@ def oracle_sql() -> dict[str, str]:
         "top_users": oracle.top_users_sql(),
         **RELATIONAL_SQL,
         "curate": oracle.curate_sql(),
+        "skew_join": """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
     }

@@ -105,3 +105,88 @@ def nodes_table(entities: DataFrame) -> DataFrame:
         F.sum("n_mentions").alias("n_mentions"),
         F.count(F.lit(1)).alias("n_surfaces"),
     )
+
+
+def _symmetric(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    # neighborhoods are over the UNDIRECTED graph: symmetrize first (the
+    # previous small-star emits directed edges), then connect every
+    # strictly-larger neighbor to the neighborhood minimum
+    sym = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("mn", F.col("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient small→large, then connect each ≤-neighbor to the minimum
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    m = e.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("mn", F.col("u")).alias("m"))
+    j = e.join(m, "u")
+    out = j.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        j.select(F.col("u"), F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Large-star/small-star connected components (the O(log n)-round
+    map-reduce CC of Kiveris et al., re-expressed as DataFrame joins) —
+    the 10^12-node path: round count grows with log of component size,
+    not diameter, unlike the hash-min propagation in
+    ``connected_components`` (kept as the low-overhead default for the
+    small surface/dup graphs this pipeline produces).
+
+    Returns (node, component) with component = min node id.
+    """
+    e = _symmetric(edges, src, dst).localCheckpoint()
+    for _ in range(max_iters):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        # converged when the star transform is a fixpoint
+        if (
+            e2.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(e2).limit(1).count() == 0
+        ):
+            e = e2
+            break
+        e = e2
+    # e is now (almost-)star-shaped: node → its component min, plus the
+    # roots themselves; resolve one more min per node for safety
+    comp = e.groupBy("u").agg(F.min("v").alias("component"))
+    nodes = _symmetric(edges, src, dst).select(F.col("u")).distinct()
+    return (
+        nodes.join(comp, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.coalesce("component", "u"), F.col("u")).alias(
+                "component"
+            ),
+        )
+    )

@@ -105,3 +105,33 @@ def test_canonical_entities_singletons_and_merge(spark):
     merged = rows["city:new york"].entity_id
     assert n[merged].n_mentions >= 15  # 10 + 5 (maybe + york)
     assert n[merged].n_surfaces >= 2
+
+
+def test_star_cc_matches_hashmin(spark):
+    import random
+
+    from gliner_spark.operators.canonicalize import connected_components_star
+
+    rng = random.Random(3)
+    nodes = [f"n{i:03d}" for i in range(200)]
+    edges = []
+    # chain components of varying length + random extra intra-links
+    i = 0
+    while i < len(nodes) - 1:
+        comp_len = rng.randint(1, 12)
+        for j in range(i, min(i + comp_len - 1, len(nodes) - 1)):
+            edges.append((nodes[j], nodes[j + 1]))
+        i += comp_len
+    for _ in range(40):
+        a, b = rng.sample(range(len(nodes)), 2)
+        if abs(a - b) < 5:
+            edges.append((nodes[min(a, b)], nodes[max(a, b)]))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    hashmin = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    star = {
+        r.node: r.component
+        for r in connected_components_star(df).collect()
+    }
+    assert star == hashmin and len(star) > 0
