@@ -59,6 +59,7 @@ from gliner_spark.operators.textstats import (
     quality_score,
     token_stats,
 )
+from gliner_spark.operators.embed import lsh_cosine_links
 from gliner_spark.operators.skew import salted_equi_join
 from gliner_spark.plans.curation import curate
 from gliner_spark.sources.pages import pages_from_documents
@@ -102,6 +103,13 @@ def q_kg_links_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no SQL oracle (MinHash; FIXTURES.md §5) → rows-only check; recall
     # vs the exact variant is asserted in tests/test_linking.py
     return lsh_links(entity_surfaces(_mentions(spark, sf_dir)))
+
+
+def q_kg_links_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # north-star linking stage: LSH blocking + cosine over span
+    # embeddings; rows-only (hashing-trick embedding has no SQL form),
+    # bounded by tests/test_linking.py
+    return lsh_cosine_links(_mentions(spark, sf_dir))
 
 
 def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "kg_links": q_kg_links,
         "kg_links_lsh": q_kg_links_lsh,
+        "kg_links_cosine": q_kg_links_cosine,
         "kg_nodes": q_kg_nodes,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,

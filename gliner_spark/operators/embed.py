@@ -1,0 +1,134 @@
+"""Span/surface embeddings + cosine link scoring.
+
+North-star wording (BASELINE.json): "MinHash-LSH blocked entity linking
+with cosine scoring over span embeddings". The blocking lives in
+operators/linking.py; this module supplies the embedding and the cosine
+scorer:
+
+- ``embed_surfaces``: deterministic hashing-trick character-n-gram
+  embedding (Arrow-batched pandas stage; the surrogate for a real
+  encoder exactly like SurrogateScorer is for the ONNX model — swap in
+  an ONNX sentence encoder behind the same (strings → float32[dim])
+  contract at scale).
+- ``cosine_links``: LSH candidate pairs → cosine over embeddings ≥
+  threshold. Candidates come from the MinHash band join, so no cross
+  product exists anywhere; cosine is computed JVM-side
+  (``similarity.cosine_expr``).
+
+Deterministic by construction (FNV-1a n-gram hashing, fixed sign trick),
+so results are reproducible across runs/processes — required for the
+driver's repeated-run comparisons.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dedup import hash_str_64
+from .linking import char_shingles, entity_surfaces  # noqa: F401 (re-export)
+from .similarity import cosine_expr
+from .util import ensure_parallelism
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("sid", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def embed_text(text: str, dim: int = 64, k: int = 3) -> np.ndarray:
+    """Hashing-trick char-n-gram embedding: each n-gram adds ±1 to a
+    hashed bucket (sign from a second hash bit), L2-normalized."""
+    v = np.zeros(dim, dtype=np.float64)
+    n = len(text)
+    grams = (
+        {text[i:i + k] for i in range(max(1, n - k + 1))} if n else set()
+    )
+    for g in grams:
+        h = hash_str_64(g)
+        sign = 1.0 if (h >> 63) & 1 == 0 else -1.0
+        v[h % dim] += sign
+    norm = np.linalg.norm(v)
+    if norm > 0:
+        v /= norm
+    return v.astype(np.float32)
+
+
+def embed_surfaces(
+    surfaces: DataFrame, dim: int = 64, k: int = 3,
+    id_col: str = "sid", text_col: str = "surface",
+) -> DataFrame:
+    """(sid, embedding float32[dim]) via mapInPandas."""
+    src = ensure_parallelism(
+        surfaces.select(
+            F.col(id_col).cast("string").alias("sid"),
+            F.col(text_col).alias("text"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "sid": pdf["sid"],
+                    "embedding": [
+                        embed_text(t, dim, k).tolist() for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return src.mapInPandas(run, schema=EMBED_SCHEMA)
+
+
+def cosine_links(
+    surfaces: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.60,
+    dim: int = 64,
+) -> DataFrame:
+    """candidates(src, dst, …) × embeddings → (src, dst, cos) with
+    cosine ≥ threshold. Embeddings join onto the (small) candidate set;
+    the dot product runs in whole-stage codegen."""
+    emb = embed_surfaces(surfaces, dim=dim)
+    ea = emb.select(F.col("sid").alias("src"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("sid").alias("dst"), F.col("embedding").alias("vb"))
+    return (
+        candidates.select("src", "dst")
+        .join(ea, "src")
+        .join(eb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(
+                cosine_expr(
+                    F.transform(F.col("va"), lambda x: x.cast("double")),
+                    F.transform(F.col("vb"), lambda x: x.cast("double")),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def lsh_cosine_links(
+    mentions: DataFrame,
+    threshold: float = 0.60,
+    dim: int = 64,
+) -> DataFrame:
+    """The full north-star linking stage: mention surfaces → MinHash-LSH
+    candidate blocking → cosine scoring over span embeddings."""
+    from .linking import lsh_links
+
+    surfaces = entity_surfaces(mentions)
+    # LSH with a permissive Jaccard floor purely as the blocker; the
+    # decision threshold is the cosine
+    candidates = lsh_links(surfaces, threshold=0.1)
+    return cosine_links(surfaces, candidates, threshold=threshold, dim=dim)
