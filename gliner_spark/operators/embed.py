@@ -120,7 +120,7 @@ def cosine_links(
 
 def lsh_cosine_links(
     mentions: DataFrame,
-    threshold: float = 0.60,
+    threshold: float = 0.50,
     dim: int = 64,
 ) -> DataFrame:
     """The full north-star linking stage: mention surfaces → MinHash-LSH
