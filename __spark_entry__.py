@@ -41,9 +41,12 @@ from gliner_spark.operators.multimodal import (
 from gliner_spark.operators.relational import (
     RELATIONAL_SQL,
     customers_without_orders,
+    events_cube,
+    nation_setops,
     pricing_summary,
     revenue_rollup,
     top_nation_revenue,
+    window_combo,
 )
 from gliner_spark.operators.ner import extract_mentions
 from gliner_spark.operators.ner_fused import extract_triples_fused
@@ -183,6 +186,17 @@ def q_mm_features(spark, sf_dir):
     )
 
 
+def q_ner_mentions_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # chunking extension ON (chunk_words=32, overlap=16): must equal the
+    # unchunked mentions on this corpus → shares the ner_mentions oracle
+    from gliner_spark.config import GlinerConfig
+
+    return extract_mentions(
+        _documents(spark, sf_dir), SOUP_LABELS, id_col="doc_id",
+        config=GlinerConfig(chunk_words=32, chunk_overlap=16),
+    )
+
+
 def q_skew_join(spark, sf_dir):
     """Salted equi-join must be row-identical to the plain join (oracle
     is the plain SQL join) while spreading hot keys over n_salts
@@ -262,6 +276,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_rollup": revenue_rollup,
         "tpch_top_nations": top_nation_revenue,
         "tpch_no_orders": customers_without_orders,
+        "events_windows": window_combo,
+        "events_cube": events_cube,
+        "nation_setops": nation_setops,
+        "ner_mentions_chunked": q_ner_mentions_chunked,
         "curate": q_curate,
         "skew_join": q_skew_join,
     }
@@ -289,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "top_users": oracle.top_users_sql(),
         **RELATIONAL_SQL,
         "curate": oracle.curate_sql(),
+        "ner_mentions_chunked": oracle.ner_mentions_sql(),
         "skew_join": """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(o_totalprice), 2) AS revenue

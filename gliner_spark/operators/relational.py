@@ -119,3 +119,91 @@ WHERE NOT EXISTS (
     AND o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
 )""",
 }
+
+
+def window_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/running-sum/rank/ntile in one pass over the events stream —
+    the window-function class beyond sessionization."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 4
+        ).alias("delta"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("running"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all 4 grouping sets."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow"), "value"
+    )
+    return (
+        e.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("ALL")).alias("dow"),
+            "n",
+            "total",
+        )
+    )
+
+
+def nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: nations having customers but no suppliers,
+    and vice versa, tagged."""
+    cust_n = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    supp_n = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    both = cust_n.intersect(supp_n).withColumn("tag", F.lit("both"))
+    cust_only = cust_n.exceptAll(supp_n).withColumn("tag", F.lit("cust_only"))
+    supp_only = supp_n.exceptAll(cust_n).withColumn("tag", F.lit("supp_only"))
+    return both.unionByName(cust_only).unionByName(supp_only)
+
+
+RELATIONAL_SQL.update(
+    {
+        "events_windows": """
+SELECT user_id, event_id,
+       ROUND(value - COALESCE(lag(value) OVER w, 0.0), 4) AS delta,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "events_cube": """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(dow AS VARCHAR), 'ALL') AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total
+FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, value
+      FROM events)
+GROUP BY CUBE (event_type, dow)""",
+        "nation_setops": """
+WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS tag FROM cn INTERSECT SELECT nationkey, 'both' FROM sn
+UNION ALL
+(SELECT nationkey, 'cust_only' FROM cn EXCEPT SELECT nationkey, 'cust_only' FROM sn)
+UNION ALL
+(SELECT nationkey, 'supp_only' FROM sn EXCEPT SELECT nationkey, 'supp_only' FROM cn)""",
+    }
+)
