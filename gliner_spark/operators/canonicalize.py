@@ -37,10 +37,14 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    # seed with the neighborhood minimum (≡ running iteration 1 inside
+    # the init aggregation — saves one full join round)
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("nbr_min"))
+        .select(
+            "node", F.least("node", F.col("nbr_min")).alias("component")
+        )
     ).localCheckpoint()
 
     for _ in range(max_iters):
