@@ -101,7 +101,9 @@ def run_worker(cores: int, sf_dir: str, names: list[str]) -> dict:
     special = {SCALING_QUERY: kg_pipeline, SCALE_JOB: scale_pipeline}
     for name in names:
         df_fn = special.get(name) or (lambda n=name: qs[n](spark, sf_dir))
-        df_fn()  # warm plan (analysis), not counted
+        if name != SCALE_JOB:
+            _noop_write(df_fn())  # warm execution (JIT/codegen/shuffle
+            # service) — timed numbers are steady-state
         t0 = time.monotonic()
         _noop_write(df_fn())
         out["queries"][name] = round(time.monotonic() - t0, 3)
