@@ -98,12 +98,36 @@ def run_worker(cores: int, sf_dir: str, names: list[str]) -> dict:
         )
         return extract_triples_fused(pages, ALL_LABELS, id_col="url")
 
+    def _cleanup():
+        # isolate queries: drop cached tables / checkpointed RDD blocks
+        # left by iterative operators, nudge the JVM to release storage
+        spark.catalog.clearCache()
+        try:
+            it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+            while it.hasNext():
+                it.next().unpersist(False)
+        except Exception:
+            pass
+        spark.sparkContext._jvm.System.gc()
+
     special = {SCALING_QUERY: kg_pipeline, SCALE_JOB: scale_pipeline}
     for name in names:
         df_fn = special.get(name) or (lambda n=name: qs[n](spark, sf_dir))
-        if name != SCALE_JOB:
-            _noop_write(df_fn())  # warm execution (JIT/codegen/shuffle
-            # service) — timed numbers are steady-state
+        if name == SCALE_JOB:
+            # min of two timed runs: the scaling ratio needs a noise-free
+            # estimate (single runs swing ±25% under the container's
+            # shared-CPU scheduling)
+            times = []
+            for _ in range(2):
+                _cleanup()
+                t0 = time.monotonic()
+                _noop_write(df_fn())
+                times.append(time.monotonic() - t0)
+            out["queries"][name] = round(min(times), 3)
+            continue
+        _noop_write(df_fn())  # warm execution (JIT/codegen/shuffle
+        # service) — timed numbers are steady-state
+        _cleanup()
         t0 = time.monotonic()
         _noop_write(df_fn())
         out["queries"][name] = round(time.monotonic() - t0, 3)
