@@ -63,6 +63,7 @@ from gliner_spark.operators.textstats import (
     token_stats,
 )
 from gliner_spark.operators.embed import lsh_cosine_links
+from gliner_spark.operators.sampling import pack_shards, sample_by_hash
 from gliner_spark.operators.skew import salted_equi_join
 from gliner_spark.plans.curation import curate
 from gliner_spark.sources.pages import pages_from_documents
@@ -197,6 +198,16 @@ def q_ner_mentions_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample(spark, sf_dir):
+    return sample_by_hash(
+        _documents(spark, sf_dir), {"en": 0.5, "es": 0.25}
+    ).select("doc_id", "lang")
+
+
+def q_pack_shards(spark, sf_dir):
+    return pack_shards(_documents(spark, sf_dir))
+
+
 def q_skew_join(spark, sf_dir):
     """Salted equi-join must be row-identical to the plain join (oracle
     is the plain SQL join) while spreading hot keys over n_salts
@@ -280,6 +291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": events_cube,
         "nation_setops": nation_setops,
         "ner_mentions_chunked": q_ner_mentions_chunked,
+        "sample_strata": q_sample,
+        "pack_shards": q_pack_shards,
         "curate": q_curate,
         "skew_join": q_skew_join,
     }
@@ -308,6 +321,8 @@ def oracle_sql() -> dict[str, str]:
         **RELATIONAL_SQL,
         "curate": oracle.curate_sql(),
         "ner_mentions_chunked": oracle.ner_mentions_sql(),
+        "sample_strata": oracle.sample_sql(),
+        "pack_shards": oracle.pack_shards_sql(),
         "skew_join": """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(o_totalprice), 2) AS revenue

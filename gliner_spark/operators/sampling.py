@@ -1,0 +1,83 @@
+"""Training-data sampling + shard packing.
+
+Two operators a 100 TB curation pipeline runs after filtering:
+
+- ``sample_by_hash``: deterministic per-stratum sampling. Instead of
+  ``sampleBy`` (RNG-seeded, not reproducible across engines or cluster
+  layouts), a document is kept iff the first 8 hex chars of
+  ``md5(doc_id)`` fall below the stratum's rate — a pure function of the
+  row, so the sample is stable under re-runs, resumable partitions, AND
+  reproducible in the DuckDB oracle (md5 agrees across engines).
+- ``pack_shards``: sequence packing — assign documents to fixed
+  token-budget training shards by cumulative token count in a canonical
+  order. One window pass; shard boundaries are deterministic.
+
+Scale notes: hash sampling is stateless row-local (survives any
+partitioning); packing's window runs per stratum partition — at 10^12
+docs pack within (lang, bucket) partitions rather than one global order
+(the global sequential cumsum is the one thing that cannot distribute;
+per-bucket packing is the standard compromise and is what this operator
+does with ``part_col``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def rate_to_hex(rate: float) -> str:
+    """Rate → 8-char lowercase hex threshold over the md5-prefix space.
+    Comparison happens on fixed-width lowercase hex STRINGS, which is
+    numerically ordered — and identical in Spark and DuckDB, so the
+    sampled set is bit-for-bit reproducible cross-engine."""
+    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def sample_by_hash(
+    docs: DataFrame,
+    rates: Dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Rows whose md5(doc_id) 8-hex-char prefix is below their stratum's
+    threshold. Deterministic, engine-independent, resume-safe."""
+    thr = F.lit(rate_to_hex(default_rate))
+    for key, r in rates.items():
+        thr = F.when(
+            F.col(strata_col) == key, F.lit(rate_to_hex(r))
+        ).otherwise(thr)
+    prefix = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return docs.where(prefix < thr)
+
+
+def pack_shards(
+    docs: DataFrame,
+    token_budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_col: str | None = None,
+) -> DataFrame:
+    """(doc_id[, part], n_tokens, shard_id): documents packed into
+    shards of ~token_budget whitespace tokens, in id order (per
+    partition when ``part_col`` given — the distributable form)."""
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *([F.col(part_col).alias("part")] if part_col else []),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("part") if part_col else Window.partitionBy()
+    ).orderBy("doc_id")
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return base.withColumn(
+        "shard_id", F.floor(cum_before / F.lit(token_budget)).cast("long")
+    )

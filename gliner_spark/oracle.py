@@ -538,3 +538,31 @@ JOIN lang USING (doc_id)
 JOIN qual USING (doc_id)
 JOIN exact USING (doc_id)
 JOIN near USING (doc_id)"""
+
+
+def sample_sql(rates=None, default_rate: float = 0.0) -> str:
+    """Mirrors operators/sampling.sample_by_hash over documents."""
+    from .operators.sampling import rate_to_hex
+
+    rates = rates or {"en": 0.5, "es": 0.25}
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN '{rate_to_hex(r)}'" for k, r in rates.items()
+    )
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < CASE {cases} ELSE '{rate_to_hex(default_rate)}' END"""
+
+
+def pack_shards_sql(token_budget: int = 2048) -> str:
+    """Mirrors operators/sampling.pack_shards (global order)."""
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(FLOOR(
+         CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS DOUBLE) / {token_budget}.0) AS BIGINT) AS shard_id
+FROM documents"""

@@ -107,3 +107,39 @@ def test_salted_join_equals_plain_join(spark):
     )
     hot = hot_keys(big, "k", 1000).collect()
     assert [r.k for r in hot] == ["hot"]
+
+
+# --- sampling + shard packing ---
+def test_hash_sampling_deterministic_and_stratified(spark):
+    from gliner_spark.operators.sampling import sample_by_hash
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    s1 = {r.doc_id for r in sample_by_hash(docs, {"en": 0.5}).collect()}
+    s2 = {r.doc_id for r in sample_by_hash(docs, {"en": 0.5}).collect()}
+    assert s1 == s2 and s1  # run-to-run deterministic
+    # only the named stratum is sampled; rate lands near 50%
+    langs = {r.lang for r in docs.where(F.col("doc_id").isin(s1)).collect()}
+    assert langs == {"en"}
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert 0.35 < len(s1) / n_en < 0.65
+    # monotone: a larger rate strictly contains a smaller one
+    s3 = {r.doc_id for r in sample_by_hash(docs, {"en": 0.8}).collect()}
+    assert s1 < s3
+
+
+def test_pack_shards_budget(spark):
+    from gliner_spark.operators.sampling import pack_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_shards(docs, token_budget=500).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    # contiguous shard ids, each (except possibly the last) fills the
+    # budget once the doc that crosses the boundary lands in it
+    assert sorted(by_shard) == list(range(len(by_shard)))
+    for sid, rows in by_shard.items():
+        if sid < max(by_shard):
+            assert sum(r.n_tokens for r in rows) >= 500 - max(
+                r.n_tokens for r in rows
+            )
