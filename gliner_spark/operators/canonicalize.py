@@ -31,7 +31,14 @@ def connected_components(
     max_iters: int = 20,
 ) -> DataFrame:
     """edges(src, dst) undirected → (node, component) with component =
-    min node id (lexicographic for strings) in the component."""
+    min node id (lexicographic for strings) in the component.
+
+    Convergence is checked every round; if ``max_iters`` is exhausted
+    while labels are still changing (component diameter > max_iters) a
+    warning is emitted — silently-unconverged labels would split one
+    entity into several. Diameter-heavy graphs should use
+    ``connected_components_star`` (O(log n) rounds) instead."""
+    import warnings
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -73,6 +80,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        warnings.warn(
+            f"connected_components: not converged after {max_iters} "
+            "iterations (component diameter exceeds the bound); labels "
+            "may split one component into several. Raise max_iters or "
+            "use connected_components_star (O(log n) rounds).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -69,31 +69,64 @@ def checkpoint_write(
     root: str,
     stage: str,
     lineage: dict | None = None,
+    expected_part_keys: Sequence[str] | DataFrame | None = None,
 ) -> DataFrame:
     """Write ``df`` (must carry part_key) partition-by-partition with a
     manifest; skips partitions already DONE (resume). Returns the full
-    stage output (reading back what exists on disk)."""
+    stage output (reading back what exists on disk).
+
+    ``todo`` is persisted across the two actions (parquet write +
+    manifest count) so the upstream stage — for mentions, a full NER
+    ``mapInPandas`` pass — executes ONCE, not twice.
+
+    ``expected_part_keys`` (iterable of keys, or a 1-column DataFrame of
+    part_key): input partitions that produced ZERO output rows are
+    invisible in ``df``; passing the expected key universe records them
+    as DONE with n_rows=0 so resume does not reprocess them forever.
+    """
     spark = df.sparkSession
     out_path = os.path.join(root, stage)
 
     done = completed_partitions(spark, root, stage)
-    todo = df.join(F.broadcast(done), PART_COL, "left_anti")
+    todo = df.join(F.broadcast(done), PART_COL, "left_anti").persist()
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        todo.write.mode("overwrite").partitionBy(PART_COL).parquet(out_path)
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    todo.write.mode("overwrite").partitionBy(PART_COL).parquet(out_path)
-
-    # manifest rows: per-partition row counts = the metrics the north rule
-    # asks to track (triples per partition etc.)
-    counts = todo.groupBy(PART_COL).agg(F.count(F.lit(1)).alias("n_rows"))
-    manifest = counts.select(
-        F.lit(stage).alias("stage"),
-        F.col(PART_COL),
-        F.lit(DONE).alias("status"),
-        F.col("n_rows"),
-        F.lit(json.dumps(lineage or {}, sort_keys=True)).alias("lineage"),
-        F.current_timestamp().alias("ts"),
-    )
-    manifest.write.mode("append").parquet(_manifest_path(root))
+        # manifest rows: per-partition row counts = the metrics the north
+        # rule asks to track (triples per partition etc.)
+        counts = todo.groupBy(PART_COL).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        if expected_part_keys is not None:
+            if isinstance(expected_part_keys, DataFrame):
+                exp = expected_part_keys.select(
+                    F.col(expected_part_keys.columns[0])
+                    .cast("string")
+                    .alias(PART_COL)
+                ).distinct()
+            else:
+                exp = spark.createDataFrame(
+                    [(str(k),) for k in expected_part_keys],
+                    f"{PART_COL} string",
+                ).distinct()
+            empty = (
+                exp.join(F.broadcast(done), PART_COL, "left_anti")
+                .join(counts.select(PART_COL), PART_COL, "left_anti")
+                .select(PART_COL, F.lit(0).cast("long").alias("n_rows"))
+            )
+            counts = counts.unionByName(empty)
+        manifest = counts.select(
+            F.lit(stage).alias("stage"),
+            F.col(PART_COL),
+            F.lit(DONE).alias("status"),
+            F.col("n_rows"),
+            F.lit(json.dumps(lineage or {}, sort_keys=True)).alias("lineage"),
+            F.current_timestamp().alias("ts"),
+        )
+        manifest.write.mode("append").parquet(_manifest_path(root))
+    finally:
+        todo.unpersist()
     return spark.read.parquet(out_path)
 
 

@@ -31,8 +31,15 @@ def rate_to_hex(rate: float) -> str:
     """Rate → 8-char lowercase hex threshold over the md5-prefix space.
     Comparison happens on fixed-width lowercase hex STRINGS, which is
     numerically ordered — and identical in Spark and DuckDB, so the
-    sampled set is bit-for-bit reproducible cross-engine."""
-    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+    sampled set is bit-for-bit reproducible cross-engine.
+
+    rate ≥ 1.0 returns a sentinel strictly above every hex string ('g' >
+    'f'), so full-rate strata are lossless under the strict '<' compare
+    (a 0xffffffff threshold would silently drop docs whose md5 prefix is
+    exactly 'ffffffff' — keep probability 1 − 2⁻³² instead of 1)."""
+    if rate >= 1.0:
+        return "g" * 8
+    return format(max(int(rate * (1 << 32)), 0), "08x")
 
 
 def sample_by_hash(

@@ -197,3 +197,73 @@ def embedding_dup_pairs(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+def embedding_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.40,
+    n_bits: int = 3,
+    n_tables: int = 24,
+    seed: int = 5,
+    max_bucket: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-blocked embedding near-dup pairs — the scale path for
+    ``embedding_dup_pairs``: candidates come from an equi-join on
+    (table, bucket) over random-hyperplane sign buckets (no cross join
+    anywhere in the plan), then exact cosine re-rank + threshold.
+
+    Recall is tunable via (n_bits, n_tables): per-plane agreement for a
+    pair at cosine c is 1 − arccos(c)/π, per-table collision p^n_bits,
+    miss prob (1 − p^n_bits)^n_tables. The defaults (3 bits × 24 tables)
+    give measured recall 1.0 vs the exact O(n²) form on the sf0.01/sf0.1
+    test corpora (asserted in tests) — the driver's exact SQL oracle
+    stays valid. ``max_bucket`` bounds pathological buckets the same way
+    the MinHash band join does."""
+    corpus = embeddings.select(
+        F.col(id_col).cast("long").alias("nid"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    buckets = corpus.select(
+        "nid",
+        "v",
+        F.posexplode(
+            F.array(
+                *[
+                    _bucket_expr(F.col("v"), _planes(dim, n_bits, t, seed))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tbl", "bucket"),
+    )
+    guard = (
+        buckets.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where((F.col("bn") > 1) & (F.col("bn") <= max_bucket))
+        .select("tbl", "bucket")
+    )
+    pruned = buckets.join(guard, ["tbl", "bucket"])
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.nid") < F.col("b.nid")),
+        )
+        .select(
+            F.col("a.nid").alias("src"),
+            F.col("b.nid").alias("dst"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    return cand.select(
+        "src",
+        "dst",
+        F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("sim"),
+    ).where(F.col("sim") >= threshold)

@@ -44,19 +44,23 @@ def salted_equi_join(
     """Equi-join with per-hot-key salting; output ≡ ``big.join(small,
     key, how)`` for inner/left joins on the big side.
 
-    The salt is derived from a per-row hash (xxhash64 of all big-side
-    columns + a monotonic fallback), so it is deterministic, needs no
-    state, and spreads a hot key uniformly.
+    The salt is a pure function of the big-side row (xxhash64 over ALL
+    its columns): deterministic across task retries and stage
+    recomputation — a row always lands on the same salt, so a
+    fetch-failure recompute cannot duplicate or lose joined rows (the
+    SPARK-23207 class of hazard a ``monotonically_increasing_id`` salt
+    would reintroduce). Identical big-side rows share a salt, which is
+    fine: uniform spread only requires the hot KEY's rows to hash to
+    many salts, and the non-key columns vary per row.
     """
     hk = hot_keys(big, key, threshold).withColumn("_hot", F.lit(True))
+    row_hash = F.xxhash64(*[F.col(c) for c in big.columns])
 
     b = big.join(F.broadcast(hk), key, "left").withColumn(
         "_salt",
         F.when(
             F.col("_hot").isNotNull(),
-            F.pmod(
-                F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)
-            ).cast("int"),
+            F.pmod(row_hash, F.lit(n_salts)).cast("int"),
         ).otherwise(F.lit(0)),
     ).drop("_hot")
 
@@ -81,7 +85,8 @@ def salted_group_count(
     is kept as the template for them.)"""
     salted = df.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)),
+        # pure function of the row (see salted_equi_join): retry-safe
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
     )
     partial = salted.groupBy(key, "_salt").agg(
         F.count(F.lit(1)).alias("_partial")

@@ -39,13 +39,19 @@ def _first_seen(
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
         return  # fingerprint already emitted in an earlier batch
-    first = None
+    # applyInPandasWithState may deliver ONE group as SEVERAL chunks —
+    # the documented min-doc_id tie-break must compare across all of
+    # them, not stop at the first non-empty chunk
+    best = None
     for pdf in pdfs:
-        if len(pdf) and first is None:
-            first = pdf.sort_values("doc_id").head(1)
-    if first is not None:
+        if not len(pdf):
+            continue
+        cand = pdf.sort_values("doc_id").head(1)
+        if best is None or cand.iloc[0]["doc_id"] < best.iloc[0]["doc_id"]:
+            best = cand
+    if best is not None:
         state.update((True,))
-        yield first[["doc_id", "content_hash", "text"]]
+        yield best[["doc_id", "content_hash", "text"]]
 
 
 def stream_distinct_documents(

@@ -127,6 +127,19 @@ def test_hash_sampling_deterministic_and_stratified(spark):
     assert s1 < s3
 
 
+def test_hash_sampling_full_rate_lossless(spark):
+    # rate=1.0 must keep EVERY row (strict '<' vs a 0xffffffff threshold
+    # would drop md5-prefix == 'ffffffff' docs); rate=0.0 keeps none
+    from gliner_spark.operators.sampling import rate_to_hex, sample_by_hash
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n = docs.count()
+    assert sample_by_hash(docs, {"en": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0,
+                                 "zh": 1.0}, default_rate=1.0).count() == n
+    assert sample_by_hash(docs, {}, default_rate=0.0).count() == 0
+    assert rate_to_hex(1.0) > "ffffffff" > rate_to_hex(0.999999)
+
+
 def test_pack_shards_budget(spark):
     from gliner_spark.operators.sampling import pack_shards
 

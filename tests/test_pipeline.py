@@ -71,6 +71,45 @@ def test_checkpoint_resume(spark, tmp_path):
     assert metrics2.count() == n_parts  # no new manifest rows appended
 
 
+def test_checkpoint_zero_row_partitions_marked_done(spark, tmp_path):
+    """Input partitions yielding zero output rows must still get a
+    manifest row (n_rows=0) so resume never reprocesses them."""
+    root = str(tmp_path / "ckpt0")
+    df = with_part_key(
+        spark.range(0, 100).select(F.col("id").cast("string").alias("doc_id")),
+        "doc_id",
+        n_buckets=8,
+    )
+    expected = [str(i) for i in range(8)]
+    # a filter that empties some partitions entirely
+    filtered = df.where(F.col("part_key").isin("0", "1", "2"))
+    checkpoint_write(filtered, root, "s", expected_part_keys=expected)
+    m = stage_metrics(spark, root)
+    assert m.count() == 8
+    zeros = {r.part_key for r in m.where(F.col("n_rows") == 0).collect()}
+    assert zeros == {"3", "4", "5", "6", "7"}
+    # resume with the full input: zero-row partitions are NOT redone
+    checkpoint_write(df, root, "s", expected_part_keys=expected)
+    assert stage_metrics(spark, root).count() == 8
+
+
+def test_connected_components_warns_when_unconverged():
+    import warnings
+
+    from gliner_spark.operators.canonicalize import connected_components
+    from gliner_spark.session import build_session
+
+    spark = build_session(app_name="gliner-tests", cores=4)
+    # a 6-node chain needs >1 hash-min round; max_iters=1 must warn
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iters=1)
+        assert any("not converged" in str(x.message) for x in w)
+
+
 def test_checkpoint_partial_resume(spark, tmp_path):
     """Kill-after-stage-k simulation: checkpoint half the partitions,
     then run the full write — only missing partitions are processed."""
