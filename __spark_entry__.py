@@ -53,7 +53,7 @@ from gliner_spark.operators.ner_fused import extract_triples_fused
 from gliner_spark.operators.relations import aggregate_edges, extract_relations
 from gliner_spark.operators.similarity import (
     brute_force_topk,
-    embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
     hyperplane_lsh_topk,
 )
 from gliner_spark.operators.textstats import (
@@ -74,9 +74,14 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist: the relation/link/nodes queries consume mentions through
+    # SEVERAL plan branches (self-joins, surface agg + canonical map);
+    # without materialization Spark re-runs the scoring mapInPandas once
+    # per branch — with the real ONNX scorer that doubles the dominant
+    # cost. One cache write instead (plans/kg.py does the same).
     return extract_mentions(
         _documents(spark, sf_dir), SOUP_LABELS, id_col="doc_id", text_col="text"
-    )
+    ).persist()
 
 
 def q_ner_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +150,10 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    return embedding_dup_pairs(_embeddings(spark, sf_dir))
+    # LSH-blocked plan (no cross join anywhere); the exact O(n²) form
+    # stays as the DuckDB oracle — recall 1.0 at test scale is asserted
+    # in tests/test_dedup_similarity.py so the hash gate stays valid
+    return embedding_dup_pairs_lsh(_embeddings(spark, sf_dir))
 
 
 def q_ann_topk(spark, sf_dir):
@@ -198,6 +206,65 @@ def q_ner_mentions_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ner_mentions_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token-level entry point (reference TokenProcessor/TokenDecoder,
+    # /root/reference/src/decoder.cpp:123-181,
+    # examples/inference_token_level.cpp); oracle = span set with
+    # per-label-constant probs (oracle.token_mentions_sql)
+    from gliner_spark.config import TOKEN_LEVEL, GlinerConfig
+
+    return extract_mentions(
+        _documents(spark, sf_dir), SOUP_LABELS, id_col="doc_id",
+        config=GlinerConfig(model_type=TOKEN_LEVEL),
+    )
+
+
+def q_ner_nested_multilabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Decoder-level defaults flat_ner=False, multi_label=True
+    # (/root/reference/include/GLiNER/decoder.hpp:21-29) over the
+    # north-rule pages shape; oracle equivalence argued in
+    # oracle.ner_nested_sql, mode semantics pinned by pytest goldens
+    from gliner_spark.config import GlinerConfig
+
+    return extract_mentions(
+        pages_from_documents(spark, sf_dir), SOUP_LABELS, id_col="url",
+        config=GlinerConfig(flat_ner=False, multi_label=True),
+    )
+
+
+def q_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume north-rule surface: run a checkpointed stage
+    into a fresh manifest root, return the per-partition lineage/metrics
+    rows (rows-only: bucket counts hinge on Spark's xxhash64, which
+    DuckDB cannot reproduce; resume semantics are pytest-pinned in
+    tests/test_pipeline.py)."""
+    import tempfile
+
+    from gliner_spark.operators.checkpoint import (
+        checkpoint_write,
+        stage_metrics,
+        with_part_key,
+    )
+
+    root = tempfile.mkdtemp(prefix="gliner_ckpt_")
+    n_buckets = 16
+    stats = with_part_key(
+        token_stats(_documents(spark, sf_dir)).withColumn(
+            "doc_id_str", F.col("doc_id").cast("string")
+        ),
+        "doc_id_str",
+        n_buckets=n_buckets,
+    ).drop("doc_id_str")
+    checkpoint_write(
+        stats, root, "token_stats",
+        lineage={"input": "documents", "op": "token_stats"},
+        expected_part_keys=[str(i) for i in range(n_buckets)],
+    )
+    return stage_metrics(spark, root).select(
+        "stage", "part_key", "status", "n_rows", "lineage"
+    )
+
+
 def q_sample(spark, sf_dir):
     return sample_by_hash(
         _documents(spark, sf_dir), {"en": 0.5, "es": 0.25}
@@ -205,7 +272,10 @@ def q_sample(spark, sf_dir):
 
 
 def q_pack_shards(spark, sf_dir):
-    return pack_shards(_documents(spark, sf_dir))
+    # per-stratum form (part_col): the cumulative window runs per lang
+    # partition — the distributable plan. The global form stays opt-in
+    # (pack_shards(docs) with part_col=None) for single-shard exports.
+    return pack_shards(_documents(spark, sf_dir), part_col="lang")
 
 
 def q_skew_join(spark, sf_dir):
@@ -291,6 +361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": events_cube,
         "nation_setops": nation_setops,
         "ner_mentions_chunked": q_ner_mentions_chunked,
+        "ner_mentions_token": q_ner_mentions_token,
+        "ner_nested_multilabel": q_ner_nested_multilabel,
+        "stage_metrics": q_stage_metrics,
         "sample_strata": q_sample,
         "pack_shards": q_pack_shards,
         "curate": q_curate,
@@ -321,8 +394,10 @@ def oracle_sql() -> dict[str, str]:
         **RELATIONAL_SQL,
         "curate": oracle.curate_sql(),
         "ner_mentions_chunked": oracle.ner_mentions_sql(),
+        "ner_mentions_token": oracle.token_mentions_sql(),
+        "ner_nested_multilabel": oracle.ner_nested_sql(),
         "sample_strata": oracle.sample_sql(),
-        "pack_shards": oracle.pack_shards_sql(),
+        "pack_shards": oracle.pack_shards_sql(part_col="lang"),
         "skew_join": """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(o_totalprice), 2) AS revenue

@@ -84,6 +84,61 @@ def ner_mentions_sql() -> str:
     return f"WITH {mentions_cte()} SELECT * FROM men"
 
 
+def token_label_probs(labels=SOUP_LABELS) -> dict:
+    """Per-label max gazetteer prob = the constant inside-score the
+    TokenSurrogateScorer emits (kernels/scorer.py TokenSurrogateScorer)."""
+    out: dict = {}
+    for _phrase, label, prob in GAZETTEER:
+        if label in labels:
+            out[label] = max(out.get(label, 0.0), prob)
+    return out
+
+
+def token_mentions_sql(labels=SOUP_LABELS) -> str:
+    """Token-level NER oracle (reference TokenDecoder,
+    /root/reference/src/decoder.cpp:123-181).
+
+    On this corpus the token-level span SET equals the span-level one
+    (pytest-proven: tests/test_extensions.py
+    test_token_level_matches_span_level_on_soup / _spark_operator —
+    every overlap is a phrase-over-noun chain that the start/end/inside
+    walk plus greedy tie-break resolves identically), while the PROB is
+    the running mean of the per-label-constant inside score — i.e. the
+    label constant itself (decoder.cpp:166-174)."""
+    consts = token_label_probs(labels)
+    cases = " ".join(
+        f"WHEN label = '{k}' THEN {v}" for k, v in sorted(consts.items())
+    )
+    return f"""WITH {mentions_cte(labels)}
+SELECT doc_id, m_start, m_end, m_text, label,
+       CAST(CASE {cases} END AS DOUBLE) AS prob
+FROM men"""
+
+
+def ner_nested_sql(labels=SOUP_LABELS) -> str:
+    """Oracle for the nested/multilabel driver query (flat_ner=False,
+    multi_label=True — the Decoder-level defaults,
+    /root/reference/include/GLiNER/decoder.hpp:21-29) over the
+    pages-from-documents projection.
+
+    On this corpus every overlapping mention pair is RANGE-intersecting
+    (the phrase→inner-noun nestings), and hasOverlappingNested ≡
+    hasOverlapping for intersecting non-identical ranges
+    (decoder.cpp:16-29); identical-range multi-label pairs don't occur
+    (each gazetteer word has one label). So the nested/multilabel output
+    equals the flat one with doc_id = the page url. The MODE differences
+    are pinned by pytest goldens (tests/test_kernels.py
+    test_greedy_identical_range_multilabel / test_greedy_nested_flat_vs_nested)."""
+    return f"""WITH pages AS (
+  SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)
+           AS doc_id,
+         text
+  FROM documents
+),
+{mentions_cte(labels, table="pages")}
+SELECT * FROM men"""
+
+
 def ner_triples_sql(window_bytes: int = DEFAULT_WINDOW_BYTES) -> str:
     rules = ", ".join(
         f"('{s}', '{o}', '{p}')" for s, o, p in DEFAULT_RULES
@@ -555,14 +610,20 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
       < CASE {cases} ELSE '{rate_to_hex(default_rate)}' END"""
 
 
-def pack_shards_sql(token_budget: int = 2048) -> str:
-    """Mirrors operators/sampling.pack_shards (global order)."""
+def pack_shards_sql(token_budget: int = 2048,
+                    part_col: str | None = "lang") -> str:
+    """Mirrors operators/sampling.pack_shards. Default = the per-stratum
+    (distributable) form: the cumulative-token window runs PER part_col
+    partition, matching the plan that scales (a global window funnels
+    the corpus through one task)."""
+    part_select = f"{part_col} AS part,\n       " if part_col else ""
+    part_by = f"PARTITION BY {part_col} " if part_col else ""
     return f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       {part_select}CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(FLOOR(
          CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
-             ORDER BY doc_id
+             {part_by}ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            AS DOUBLE) / {token_budget}.0) AS BIGINT) AS shard_id
 FROM documents"""

@@ -21,6 +21,7 @@ from gliner_spark.operators.multimodal import (
 from gliner_spark.operators.similarity import (
     brute_force_topk,
     embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
     hyperplane_lsh_topk,
 )
 
@@ -106,6 +107,17 @@ def test_brute_force_topk_shape(emb):
 def test_embedding_dups_symmetric_free(emb):
     pairs = embedding_dup_pairs(emb, threshold=0.35).collect()
     assert all(r.src < r.dst for r in pairs)
+
+
+def test_embedding_dups_lsh_exact_recall_on_gate_corpus(spark):
+    """The driver query runs the LSH-BLOCKED plan against the exact O(n²)
+    DuckDB oracle at sf0.01 — the defaults must reproduce the exact pair
+    set bit-for-bit there, or the hash gate breaks."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r.src, r.dst, r.sim) for r in embedding_dup_pairs(emb).collect()}
+    lsh = {(r.src, r.dst, r.sim)
+           for r in embedding_dup_pairs_lsh(emb).collect()}
+    assert exact and lsh == exact
 
 
 def test_multimodal_plumbing(docs):

@@ -40,6 +40,51 @@ def test_fused_equals_modular(spark):
     assert fused == modular
 
 
+def test_persisted_mentions_score_each_doc_once(spark, tmp_path):
+    """The modular relation self-join must NOT re-run the scoring
+    mapInPandas per join branch: with mentions persisted, the scorer
+    factory runs once per input task; unpersisted it runs twice (one
+    per branch). Counted via marker files the factory drops (local mode
+    shares the filesystem with Python workers)."""
+    import os
+
+    from gliner_spark.kernels.scorer import SurrogateScorer
+
+    marker = tmp_path / "calls"
+    os.makedirs(marker)
+
+    def factory(path=str(marker)):
+        import os as _os
+        import uuid as _uuid
+
+        open(_os.path.join(path, _uuid.uuid4().hex), "w").close()
+        return SurrogateScorer(12)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).repartition(4)
+
+    mentions = extract_mentions(
+        docs, ALL_LABELS, id_col="doc_id", scorer_factory=factory
+    ).persist()
+    try:
+        extract_relations(mentions).count()
+        n_persisted = len(os.listdir(marker))
+    finally:
+        mentions.unpersist()
+
+    for f in os.listdir(marker):
+        os.remove(marker / f)
+    extract_relations(
+        extract_mentions(docs, ALL_LABELS, id_col="doc_id",
+                         scorer_factory=factory)
+    ).count()
+    n_unpersisted = len(os.listdir(marker))
+
+    assert n_persisted > 0
+    assert n_unpersisted == 2 * n_persisted
+
+
 def test_fused_no_shuffle_plan(spark):
     pages = synthesize_pages(spark, 50)
     plan = extract_triples_fused(pages, ALL_LABELS)._jdf.queryExecution(
