@@ -203,7 +203,11 @@ _SIMHASH_SCHEMA = T.StructType(
 
 
 def _simhash64(tokens: list) -> int:
-    """64-bit SimHash over token hashes (numpy-vectorized per doc)."""
+    """Single-process reference kernel: 64-bit SimHash over FNV token
+    hashes. Used by unit tests to pin the bit-vote semantics; the
+    distributed ``simhash_signatures`` uses the same vote rule over
+    JVM-side ``xxhash64`` token hashes (different hash family, same
+    algorithm)."""
     if not tokens:
         return 0
     hs = np.array(
@@ -231,25 +235,47 @@ def hash_str_64(s: str) -> int:
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, simhash) via an Arrow-batched pandas stage — SimHash's
-    bit-vote accumulation has no efficient SQL form, so this is a
-    legitimate Pandas-UDF use (SURVEY.md §2.2 UDF surface)."""
+    """(doc_id, simhash): token hashing runs JVM-side (``xxhash64`` over
+    the split-token array, whole-stage codegen); only the bit-vote
+    accumulation — which has no efficient SQL form — crosses into an
+    Arrow-batched pandas stage, fully numpy-vectorized over the
+    concatenated int64 hash arrays (no per-token Python). Zero shuffle:
+    both stages are row-local."""
     src = ensure_parallelism(
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            F.col(text_col).alias("text"),
+            F.transform(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                lambda w: F.xxhash64(w),
+            ).alias("hs"),
         )
     )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            sh = [
-                _simhash64(t.split(" ") if isinstance(t, str) and t else [])
-                for t in pdf["text"]
-            ]
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["hs"]]
+            n_docs = len(arrs)
+            if n_docs == 0:
+                yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                    "simhash": pd.Series([], dtype="int64")})
+                continue
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                               count=n_docs)
+            # split("", " ") yields [""] → every doc has ≥ 1 token, so
+            # reduceat group boundaries are strictly increasing
+            flat = np.concatenate(arrs).view(np.uint64)
+            bits = (flat[:, None] >> bit_idx) & np.uint64(1)  # (N, 64)
+            starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            votes = np.add.reduceat(bits.view(np.int64), starts, axis=0)
+            keep = (2 * votes) > lens[:, None]  # majority-positive bit
+            sig = np.zeros(n_docs, dtype=np.uint64)
+            for i in range(64):
+                sig |= keep[:, i].astype(np.uint64) << np.uint64(i)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"),
-                 "simhash": pd.Series(sh, dtype="int64")}
+                 "simhash": pd.Series(sig.view(np.int64))}
             )
 
     return src.mapInPandas(compute, schema=_SIMHASH_SCHEMA)
@@ -296,22 +322,23 @@ def simhash_dups(
     bands = bands.join(bucket, ["band_idx", "band_val"])
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("src"),
-            F.col("b.doc_id").alias("dst"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
-        )
-        .dropDuplicates(["src", "dst"])
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.select("src", "dst", ham.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+    # the Hamming predicate lives IN the join condition: candidate pairs
+    # that fail it are dropped while streaming out of the join, before
+    # the dropDuplicates shuffle — on convergent-signature corpora the
+    # raw bucket-pair volume is orders of magnitude above the surviving
+    # set, so filtering pre-shuffle is the scale win
+    cand = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (ham <= max_hamming),
+    ).select(
+        F.col("a.doc_id").alias("src"),
+        F.col("b.doc_id").alias("dst"),
+        ham.alias("hamming"),
     )
+    return cand.dropDuplicates(["src", "dst"])

@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dedup import hash_str_64
 from .linking import char_shingles, entity_surfaces  # noqa: F401 (re-export)
 from .similarity import cosine_expr
 from .util import ensure_parallelism
@@ -45,20 +44,58 @@ EMBED_SCHEMA = T.StructType(
 
 def embed_text(text: str, dim: int = 64, k: int = 3) -> np.ndarray:
     """Hashing-trick char-n-gram embedding: each n-gram adds ±1 to a
-    hashed bucket (sign from a second hash bit), L2-normalized."""
-    v = np.zeros(dim, dtype=np.float64)
-    n = len(text)
-    grams = (
-        {text[i:i + k] for i in range(max(1, n - k + 1))} if n else set()
-    )
-    for g in grams:
-        h = hash_str_64(g)
-        sign = 1.0 if (h >> 63) & 1 == 0 else -1.0
-        v[h % dim] += sign
-    norm = np.linalg.norm(v)
-    if norm > 0:
-        v /= norm
-    return v.astype(np.float32)
+    hashed bucket (sign from a second hash bit), L2-normalized.
+
+    Single-string reference kernel; the Spark stage uses the
+    numpy-vectorized ``embed_texts`` (identical values, asserted in
+    tests/test_linking.py)."""
+    return embed_texts([text], dim, k)[0]
+
+
+def _fnv1a_batch(grams: list) -> np.ndarray:
+    """FNV-1a over many UTF-8 strings at once: byte-column loop with an
+    active-length mask — ≤ max-gram-bytes vectorized steps instead of a
+    per-gram per-byte Python loop. Bit-identical to ``hash_str_64``
+    (uint64 arithmetic wraps mod 2⁶⁴ exactly like the masked Python int)."""
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    bs = [g.encode("utf-8") for g in grams]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    maxlen = int(lens.max()) if len(lens) else 0
+    arr = np.zeros((len(bs), maxlen), dtype=np.uint8)
+    for i, b in enumerate(bs):
+        arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(len(bs), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(maxlen):
+        active = lens > j
+        h[active] = (h[active] ^ arr[active, j].astype(np.uint64)) * prime
+    return h
+
+
+def embed_texts(texts, dim: int = 64, k: int = 3) -> np.ndarray:
+    """Vectorized batch form of ``embed_text``: one (n_texts, dim)
+    float32 matrix; all gram hashing and the ±1 scatter run in numpy."""
+    gram_list: list = []
+    owners: list = []
+    for ti, t in enumerate(texts):
+        n = len(t)
+        grams = (
+            {t[i:i + k] for i in range(max(1, n - k + 1))} if n else set()
+        )
+        gram_list.extend(grams)
+        owners.extend([ti] * len(grams))
+    v = np.zeros((len(texts), dim), dtype=np.float64)
+    hs = _fnv1a_batch(gram_list)
+    if len(hs):
+        sign = np.where(
+            (hs >> np.uint64(63)) & np.uint64(1) == 0, 1.0, -1.0
+        )
+        cols = (hs % np.uint64(dim)).astype(np.int64)
+        np.add.at(v, (np.asarray(owners, dtype=np.int64), cols), sign)
+    norms = np.linalg.norm(v, axis=1)
+    norms[norms == 0] = 1.0
+    return (v / norms[:, None]).astype(np.float32)
 
 
 def embed_surfaces(
@@ -75,12 +112,11 @@ def embed_surfaces(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            mat = embed_texts(pdf["text"].tolist(), dim, k)
             yield pd.DataFrame(
                 {
                     "sid": pdf["sid"],
-                    "embedding": [
-                        embed_text(t, dim, k).tolist() for t in pdf["text"]
-                    ],
+                    "embedding": list(mat),
                 }
             )
 

@@ -77,6 +77,35 @@ def test_simhash_deterministic_and_catches_dups(docs):
     assert recall >= 0.9, f"simhash recall {recall}"
 
 
+def test_simhash_vectorized_vote_semantics(spark):
+    """The distributed signature = majority bit-vote over JVM xxhash64
+    token hashes: a 1-token doc's simhash IS its token hash; a 3-token
+    doc's bits are the per-bit majority of the three hashes."""
+    from gliner_spark.operators.dedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "spark"), (2, "join"), (3, "spark join table")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    h = {
+        r.w: r.h
+        for r in spark.createDataFrame(
+            [("spark",), ("join",), ("table",)], "w string"
+        ).select("w", F.xxhash64("w").alias("h")).collect()
+    }
+    assert got[1] == h["spark"] and got[2] == h["join"]
+    hs = [h["spark"] & 0xFFFFFFFFFFFFFFFF, h["join"] & 0xFFFFFFFFFFFFFFFF,
+          h["table"] & 0xFFFFFFFFFFFFFFFF]
+    expect = 0
+    for i in range(64):
+        if sum((x >> i) & 1 for x in hs) >= 2:
+            expect |= 1 << i
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert got[3] == expect
+
+
 def test_ann_lsh_recall_vs_brute_force(emb):
     qids = list(range(8))
     exact = {

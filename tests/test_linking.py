@@ -148,6 +148,25 @@ def test_embeddings_and_cosine_links(spark):
     )
 
     # kernel determinism + self-similarity
+    # vectorized batch kernel must equal the single-string reference
+    # (same FNV-1a hashes, same ±1 scatter, same normalization)
+    import numpy as np
+
+    from gliner_spark.operators.dedup import hash_str_64
+    from gliner_spark.operators.embed import embed_texts
+
+    for t in ["big data", "données", "", "ab", "你好世界, नमस्ते"]:
+        got = embed_texts([t], dim=16, k=3)[0]
+        ref = np.zeros(16)
+        grams = {t[i:i + 3] for i in range(max(1, len(t) - 2))} if t else set()
+        for g in grams:
+            h = hash_str_64(g)
+            ref[h % 16] += 1.0 if (h >> 63) & 1 == 0 else -1.0
+        n = np.linalg.norm(ref)
+        if n:
+            ref /= n
+        assert np.allclose(got, ref.astype(np.float32))
+
     v1, v2 = embed_text("new york"), embed_text("new york")
     assert np.allclose(v1, v2) and abs(np.linalg.norm(v1) - 1.0) < 1e-5
     # related strings score far above unrelated ones
