@@ -40,56 +40,75 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def quality_expr(text_col):
+    """quality = 0.4·min(n_tokens/50, 1) + 0.3·(1 − |stop_ratio − 0.4|)
+    + 0.3·distinct_ratio, rounded to 4 — as a reusable expression so
+    fused passes (plans/curation.py) share one scan."""
+    w = F.split(text_col, " ")
+    n = F.size(w)
+    stop_ratio = F.size(F.filter(w, lambda x: x.isin(*EN_STOPWORDS))) / n
+    distinct_ratio = F.size(F.array_distinct(w)) / n
+    return F.round(
+        F.lit(0.4) * F.least(n / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4)))
+        + F.lit(0.3) * distinct_ratio,
+        4,
+    )
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, stopword_ratio, distinct_ratio, quality):
     length/stopword/repetition heuristics in one codegen'd projection.
-
-    quality = 0.4·min(n_tokens/50, 1) + 0.3·(1 − |stop_ratio − 0.4|)
-            + 0.3·distinct_ratio, rounded to 4.
     """
     w = F.split(F.col(text_col), " ")
     n = F.size(w)
     stop_ratio = F.size(F.filter(w, lambda x: x.isin(*EN_STOPWORDS))) / n
     distinct_ratio = F.size(F.array_distinct(w)) / n
-    quality = (
-        F.lit(0.4) * F.least(n / F.lit(50.0), F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4)))
-        + F.lit(0.3) * distinct_ratio
-    )
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         n.cast("long").alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(distinct_ratio, 4).alias("distinct_ratio"),
-        F.round(quality, 4).alias("quality"),
+        quality_expr(F.col(text_col)).alias("quality"),
     )
 
 
-def detect_language(docs: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
-    """(doc_id, {lang}_hits…, pred_lang): stopword-profile argmax with
-    deterministic tie-break (profile order, then 'und' when all zero)."""
-    w = F.split(F.col(text_col), " ")
+def pred_lang_expr(text_col):
+    """Stopword-profile argmax with deterministic tie-break (profile
+    order, then 'und' when all zero) — reusable expression form."""
+    w = F.split(text_col, " ")
 
     def hits(vocab):
         # factory, not default-arg lambda: F.filter inspects lambda arity
         return F.size(F.filter(w, lambda x: x.isin(*vocab)))
 
     hit_cols = {lang: hits(vocab) for lang, vocab in LANG_PROFILES.items()}
-    langs = list(LANG_PROFILES)
     # argmax with ties broken by profile order (en before es before …):
     # scan lowest-priority first; >= lets higher-priority langs take ties
     best = F.lit("und")
     best_hits = F.lit(0)
-    for lang in reversed(langs):
+    for lang in reversed(list(LANG_PROFILES)):
         cond = (hit_cols[lang] >= best_hits) & (hit_cols[lang] > 0)
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_hits = F.greatest(hit_cols[lang], best_hits)
+    return best
+
+
+def detect_language(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, {lang}_hits…, pred_lang): stopword-profile argmax."""
+    w = F.split(F.col(text_col), " ")
+
+    def hits(vocab):
+        return F.size(F.filter(w, lambda x: x.isin(*vocab)))
+
+    langs = list(LANG_PROFILES)
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        *[hit_cols[lang].cast("long").alias(f"{lang}_hits") for lang in langs],
-        best.alias("pred_lang"),
+        *[hits(LANG_PROFILES[lang]).cast("long").alias(f"{lang}_hits")
+          for lang in langs],
+        pred_lang_expr(F.col(text_col)).alias("pred_lang"),
     )
 
 

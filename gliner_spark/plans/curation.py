@@ -16,12 +16,12 @@ document — at web scale swap in ``minhash_dups`` for the pair source
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.canonicalize import connected_components
-from ..operators.dedup import exact_dup_groups, ngram_jaccard_dups
-from ..operators.textstats import detect_language, quality_score
+from ..operators.dedup import ngram_jaccard_dups
+from ..operators.textstats import pred_lang_expr, quality_expr
 
 
 def curate(
@@ -31,17 +31,23 @@ def curate(
     near_dup_threshold: float = 0.8,
     pair_source=None,
 ) -> DataFrame:
-    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
-
-    lang = detect_language(docs).select(
-        "doc_id", F.col("pred_lang").isin(*allowed_langs).alias("lang_ok")
+    # ONE fused projection computes the lang gate, the quality gate and
+    # the exact-dup key (Catalyst's subexpression elimination shares
+    # split(text) across them), and a window over the content hash marks
+    # non-minimum group members — so the whole verdict needs exactly TWO
+    # scans of ``docs``: this one, plus the shingle pass inside the
+    # near-dup pair source. The previous formulation re-scanned the
+    # table once per gate (4+ scans) and re-joined everything on doc_id.
+    feat = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        pred_lang_expr(F.col("text")).isin(*allowed_langs).alias("lang_ok"),
+        (quality_expr(F.col("text")) >= min_quality).alias("quality_ok"),
+        F.md5(F.col("text")).alias("_ch"),
     )
-    qual = quality_score(docs).select(
-        "doc_id", (F.col("quality") >= min_quality).alias("quality_ok")
-    )
-    exact = exact_dup_groups(docs).select(
-        "doc_id", (~F.col("keep")).alias("is_exact_dup")
-    )
+    w = Window.partitionBy("_ch")
+    feat = feat.withColumn(
+        "is_exact_dup", F.col("doc_id") != F.min("doc_id").over(w)
+    ).drop("_ch")
 
     # keep ids numeric end-to-end: connected_components takes any
     # orderable id type, and MIN over strings would pick "413" over "45"
@@ -52,30 +58,21 @@ def curate(
         F.col("node").alias("doc_id"),
         F.col("component").alias("dup_group"),
     )
-    near = ids.join(comp, "doc_id", "left").select(
+
+    # the component map is ≪ docs (only near-dup members) → broadcast
+    return feat.join(F.broadcast(comp), "doc_id", "left").select(
         "doc_id",
+        "lang_ok",
+        "quality_ok",
+        "is_exact_dup",
         (
             F.col("dup_group").isNotNull()
             & (F.col("dup_group") != F.col("doc_id"))
         ).alias("is_near_dup"),
-    )
-
-    return (
-        ids.join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .join(exact, "doc_id")
-        .join(near, "doc_id")
-        .select(
-            "doc_id",
-            "lang_ok",
-            "quality_ok",
-            "is_exact_dup",
-            "is_near_dup",
-            (
-                F.col("lang_ok")
-                & F.col("quality_ok")
-                & ~F.col("is_exact_dup")
-                & ~F.col("is_near_dup")
-            ).alias("keep"),
-        )
+    ).withColumn(
+        "keep",
+        F.col("lang_ok")
+        & F.col("quality_ok")
+        & ~F.col("is_exact_dup")
+        & ~F.col("is_near_dup"),
     )

@@ -205,6 +205,138 @@ def test_encode_batch_layout():
     assert enc.span_mask[0].sum() == 3  # (0,0),(0,1),(1,1)
 
 
+def test_encode_batch_ragged_contract():
+    """Full 6-tensor feed contract on a ragged B=3 batch (the shape a
+    real ONNX session sees; /root/reference/src/processor.cpp:60,80,
+    :122-144 and model.cpp:54-68): per-batch num_tokens/num_words
+    maxima, BOS/EOS placement per row, zero padding beyond each row's
+    real tokens, span_idx/span_mask zero-padded for the short docs,
+    text_lengths shaped (B, 1)."""
+    texts = [
+        "Kyiv is the capital of Ukraine.",
+        "Hello",
+        "one two three four five six seven eight nine ten",
+    ]
+    toks = [tokenize_text(t) for t in texts]
+    labels = ["city", "country"]
+
+    def encode_word(w):
+        return [100 + len(w)] * (1 + len(w) % 3)  # 1-3 subwords per word
+
+    max_width = 4
+    enc = encode_batch(toks, labels, encode_word, max_width=max_width)
+    bsz, lens = 3, [len(t) for t in toks]
+    num_words = max(lens)
+    assert enc.text_lengths.shape == (bsz, 1)
+    assert enc.text_lengths.dtype == np.int64
+    assert enc.text_lengths[:, 0].tolist() == lens
+    assert enc.num_words == num_words
+
+    prompt_words = ["<<ENT>>", "city", "<<ENT>>", "country", "<<SEP>>"]
+
+    def row_tokens(tk):  # 2 + Σ subword lens (processor.cpp:74)
+        return 2 + sum(len(encode_word(w)) for w in prompt_words) + sum(
+            len(encode_word(t[2])) for t in tk
+        )
+
+    num_tokens = max(row_tokens(tk) for tk in toks)
+    for t in (enc.input_ids, enc.attention_mask, enc.words_mask):
+        assert t.shape == (bsz, num_tokens) and t.dtype == np.int64
+    for p, tk in enumerate(toks):
+        n_real = row_tokens(tk)
+        assert enc.input_ids[p, 0] == 1  # BOS (processor.cpp:93)
+        assert enc.input_ids[p, n_real - 1] == 2  # EOS (:111-112)
+        assert enc.attention_mask[p, :n_real].all()
+        assert not enc.attention_mask[p, n_real:].any()
+        assert (enc.input_ids[p, n_real:] == 0).all()  # zero padding
+        wm = enc.words_mask[p]
+        assert wm[wm > 0].tolist() == list(range(1, len(tk) + 1))
+
+    # span tensors: dense (B, numWords*maxWidth[, 2]), short docs padded
+    # with zeros at masked-off slots (processor.cpp:122-144)
+    num_spans = num_words * max_width
+    assert enc.span_idx.shape == (bsz, num_spans, 2)
+    assert enc.span_idx.dtype == np.int64
+    assert enc.span_mask.shape == (bsz, num_spans)
+    assert enc.span_mask.dtype == bool
+    for p, tk in enumerate(toks):
+        n = len(tk)
+        valid = enc.span_mask[p]
+        assert valid.sum() == sum(min(max_width, n - i) for i in range(n))
+        assert (enc.span_idx[p][~valid] == 0).all()
+        si = enc.span_idx[p][valid]
+        assert (si[:, 0] <= si[:, 1]).all() and si.max() < n
+
+
+def test_onnx_scorer_feed_contract_with_mock_session():
+    """OnnxScorer.score_spans end-to-end against a mock ONNX session
+    that validates the feed dict (names/shapes/dtypes per
+    /root/reference/src/model.cpp:54-68) — the execution contract the
+    sandbox cannot exercise with real wheels."""
+    from gliner_spark.kernels.scorer import OnnxScorer
+
+    texts = [
+        "Kyiv is the capital of Ukraine.",
+        "Hello",
+        "one two three four five six seven eight nine ten",
+    ]
+    toks = [tokenize_text(t) for t in texts]
+    labels = ["city", "country", "person"]
+    max_width = 12
+    num_words = max(len(t) for t in toks)
+
+    class FakeEncoding:
+        def __init__(self, ids):
+            self.ids = ids
+
+    class FakeTokenizer:
+        def encode(self, w, add_special_tokens=False):
+            assert add_special_tokens is False  # processor.cpp:76
+            return FakeEncoding([7] * (1 + len(w) % 2))
+
+    calls = []
+
+    class MockSession:
+        def run(self, outputs, feeds):
+            assert outputs == ["logits"]  # model.cpp:59-66
+            assert set(feeds) == {
+                "input_ids", "attention_mask", "words_mask",
+                "text_lengths", "span_idx", "span_mask",
+            }
+            bsz, nt = feeds["input_ids"].shape
+            assert bsz == 3
+            for name in ("input_ids", "attention_mask", "words_mask"):
+                assert feeds[name].shape == (bsz, nt)
+                assert feeds[name].dtype == np.int64
+            assert feeds["text_lengths"].shape == (bsz, 1)
+            assert feeds["text_lengths"].dtype == np.int64
+            assert feeds["span_idx"].shape == (bsz, num_words * max_width, 2)
+            assert feeds["span_idx"].dtype == np.int64
+            assert feeds["span_mask"].shape == (bsz, num_words * max_width)
+            assert feeds["span_mask"].dtype == bool
+            calls.append(bsz)
+            n_ent = len(labels)
+            return [
+                np.zeros(bsz * num_words * max_width * n_ent, dtype=np.float32)
+            ]
+
+    scorer = OnnxScorer("mock-model", "mock-tok", max_width=max_width)
+    OnnxScorer._sessions["mock-model"] = MockSession()
+    OnnxScorer._tokenizers["mock-tok"] = FakeTokenizer()
+    try:
+        out = scorer.score_spans(toks, labels)
+    finally:
+        OnnxScorer._sessions.pop("mock-model")
+        OnnxScorer._tokenizers.pop("mock-tok")
+    assert calls == [3]
+    assert len(out) == 3
+    for lg in out:
+        # per-doc logits reshaped to (num_words, max_width, E)
+        # per decoder.cpp:96-101
+        assert lg.shape == (num_words, max_width, len(labels))
+        assert lg.dtype == np.float32
+
+
 # --- property tests ---
 @settings(max_examples=50, deadline=None)
 @given(

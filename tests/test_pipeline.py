@@ -93,6 +93,24 @@ def test_checkpoint_zero_row_partitions_marked_done(spark, tmp_path):
     assert stage_metrics(spark, root).count() == 8
 
 
+def test_curate_fused_plan_scans_at_most_twice(spark):
+    """The curation verdict must not re-scan documents once per gate:
+    lang/quality/exact-dup share ONE projection, near-dup components are
+    checkpointed — the final plan holds ≤ 2 parquet scans."""
+    import io
+    from contextlib import redirect_stdout
+
+    from gliner_spark.plans.curation import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curate(docs)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert buf.getvalue().count("Scan parquet") <= 2
+    assert out.count() == docs.count()
+
+
 def test_connected_components_warns_when_unconverged():
     import warnings
 
