@@ -127,6 +127,19 @@ def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes_table(canonical_entities(surfaces, links))
 
 
+def q_kg_nodes_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # large-star/small-star CC (O(log n) rounds — the 10^12-node path)
+    # must produce the identical nodes table → shares the kg_nodes
+    # oracle (recursive-CTE components)
+    from gliner_spark.operators.canonicalize import connected_components_star
+
+    surfaces = entity_surfaces(_mentions(spark, sf_dir))
+    links = exact_jaccard_links(surfaces)
+    return nodes_table(
+        canonical_entities(surfaces, links, cc_fn=connected_components_star)
+    )
+
+
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -168,6 +181,16 @@ def q_ann_topk_lsh(spark, sf_dir):
     )
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    # rows-only: IVF (k-means-bucketed) ANN path; recall vs brute force
+    # in pytest (tests/test_dedup_similarity.py)
+    from gliner_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _embeddings(spark, sf_dir), oracle.ANN_QUERY_IDS, k=oracle.ANN_TOPK
+    )
+
+
 def q_token_stats(spark, sf_dir):
     return token_stats(_documents(spark, sf_dir))
 
@@ -192,6 +215,29 @@ def q_mm_features(spark, sf_dir):
     # rows-only: fake-decode features (media libs absent; SURVEY.md §7)
     return extract_features(attach_media(_documents(spark, sf_dir))).select(
         "doc_id", "kind", F.size("feature").alias("dim")
+    )
+
+
+def q_mm_frames(spark, sf_dir):
+    # video frame-sampling plumbing (pure Catalyst slicing) with an
+    # exact oracle over frame counts/sizes
+    from gliner_spark.operators.multimodal import sample_frames
+
+    return sample_frames(attach_media(_documents(spark, sf_dir))).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.octet_length("frame").cast("long").alias("n_bytes"),
+    )
+
+
+def q_ner_mentions_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # length_sort=True: partition-local sort by text length before the
+    # scoring stage (padding minimization for the ONNX batch path,
+    # processor.cpp:60,:80) — the mention SET must be order-invariant,
+    # so it shares the ner_mentions oracle
+    return extract_mentions(
+        _documents(spark, sf_dir), SOUP_LABELS, id_col="doc_id",
+        length_sort=True,
     )
 
 
@@ -337,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links_lsh": q_kg_links_lsh,
         "kg_links_cosine": q_kg_links_cosine,
         "kg_nodes": q_kg_nodes,
+        "kg_nodes_star": q_kg_nodes_star,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
@@ -344,12 +391,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "mm_meta": q_mm_meta,
         "mm_features": q_mm_features,
+        "mm_frames": q_mm_frames,
         "sessionize": q_sessionize,
         "hourly_rollup": q_hourly_rollup,
         "top_users": q_top_users,
@@ -361,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": events_cube,
         "nation_setops": nation_setops,
         "ner_mentions_chunked": q_ner_mentions_chunked,
+        "ner_mentions_sorted": q_ner_mentions_sorted,
         "ner_mentions_token": q_ner_mentions_token,
         "ner_nested_multilabel": q_ner_nested_multilabel,
         "stage_metrics": q_stage_metrics,
@@ -379,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": oracle.kg_edges_sql(),
         "kg_links": oracle.kg_links_sql(),
         "kg_nodes": oracle.kg_nodes_sql(),
+        "kg_nodes_star": oracle.kg_nodes_sql(),
         "dedup_exact": oracle.dedup_exact_sql(),
         "dedup_ngram": oracle.dedup_ngram_sql(),
         "dedup_embedding": oracle.embedding_dups_sql(),
@@ -388,12 +439,14 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracle.lang_id_sql(),
         "fingerprints": oracle.fingerprints_sql(),
         "mm_meta": oracle.mm_meta_sql(),
+        "mm_frames": oracle.mm_frames_sql(),
         "sessionize": oracle.sessionize_sql(),
         "hourly_rollup": oracle.hourly_rollup_sql(),
         "top_users": oracle.top_users_sql(),
         **RELATIONAL_SQL,
         "curate": oracle.curate_sql(),
         "ner_mentions_chunked": oracle.ner_mentions_sql(),
+        "ner_mentions_sorted": oracle.ner_mentions_sql(),
         "ner_mentions_token": oracle.token_mentions_sql(),
         "ner_nested_multilabel": oracle.ner_nested_sql(),
         "sample_strata": oracle.sample_sql(),

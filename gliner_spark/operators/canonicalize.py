@@ -93,15 +93,18 @@ def connected_components(
 
 
 def canonical_entities(
-    surfaces: DataFrame, links: DataFrame, max_iters: int = 20
+    surfaces: DataFrame, links: DataFrame, max_iters: int = 20,
+    cc_fn=None,
 ) -> DataFrame:
     """surfaces(sid, label, surface, n_mentions) × links(src, dst, sim)
     → (sid, entity_id, canonical, label, n_mentions).
 
     entity_id = min sid in the component; singleton surfaces (no link)
     are their own entity. canonical = the entity_id's surface string.
+    ``cc_fn`` selects the components algorithm (hash-min default;
+    ``connected_components_star`` for the O(log n)-round path).
     """
-    comp = connected_components(links, "src", "dst", max_iters)
+    comp = (cc_fn or connected_components)(links, "src", "dst", max_iters)
     mapped = (
         surfaces.join(comp, surfaces.sid == comp.node, "left")
         .select(

@@ -430,6 +430,29 @@ SELECT doc_id, kind,
 FROM m"""
 
 
+def mm_frames_sql(frame_bytes: int = 32, every_nth: int = 4) -> str:
+    """Mirrors operators/multimodal.sample_frames over attach_media:
+    video payloads (doc_id % 3 == 2) sliced into frame_bytes windows,
+    every n-th kept; output is (doc_id, frame_idx, n_bytes)."""
+    return f"""
+WITH m AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(octet_length(encode(text || '|video')) AS BIGINT) AS nb
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT doc_id, nb,
+         unnest(list_filter(
+           generate_series(0, CAST(ceil(nb / {frame_bytes}.0) AS BIGINT) - 1),
+           i -> i % {every_nth} = 0)) AS frame_idx
+  FROM m
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(least({frame_bytes}, nb - frame_idx * {frame_bytes}) AS BIGINT)
+         AS n_bytes
+FROM f"""
+
+
 # ---------------------------------------------------------------------------
 # event analytics oracles (operators/events.py)
 # ---------------------------------------------------------------------------

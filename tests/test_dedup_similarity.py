@@ -120,6 +120,28 @@ def test_ann_lsh_recall_vs_brute_force(emb):
     assert recall >= 0.5, f"ANN-LSH top-5 recall {recall}"
 
 
+def test_ann_ivf_recall_vs_brute_force(emb):
+    from gliner_spark.operators.similarity import ivf_topk
+
+    qids = list(range(8))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, qids, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, qids, k=5, n_cells=8, n_probe=4).collect()
+    }
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, f"IVF top-5 recall {recall}"
+    # determinism: seeded centroids + fixed Lloyd rounds → same result
+    ivf2 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, qids, k=5, n_cells=8, n_probe=4).collect()
+    }
+    assert ivf == ivf2
+
+
 def test_brute_force_topk_shape(emb):
     out = brute_force_topk(emb, [0, 1], k=3).collect()
     assert len(out) == 6
