@@ -113,24 +113,19 @@ def run_worker(cores: int, sf_dir: str, names: list[str]) -> dict:
     special = {SCALING_QUERY: kg_pipeline, SCALE_JOB: scale_pipeline}
     for name in names:
         df_fn = special.get(name) or (lambda n=name: qs[n](spark, sf_dir))
-        if name == SCALE_JOB:
-            # min of two timed runs: the scaling ratio needs a noise-free
-            # estimate (single runs swing ±25% under the container's
-            # shared-CPU scheduling)
-            times = []
-            for _ in range(2):
-                _cleanup()
-                t0 = time.monotonic()
-                _noop_write(df_fn())
-                times.append(time.monotonic() - t0)
-            out["queries"][name] = round(min(times), 3)
-            continue
-        _noop_write(df_fn())  # warm execution (JIT/codegen/shuffle
-        # service) — timed numbers are steady-state
-        _cleanup()
-        t0 = time.monotonic()
-        _noop_write(df_fn())
-        out["queries"][name] = round(time.monotonic() - t0, 3)
+        if name != SCALE_JOB:
+            _noop_write(df_fn())  # warm execution (JIT/codegen/shuffle
+            # service) — timed numbers are steady-state
+        # min of two timed runs for EVERY query: single runs swing
+        # ±25% (sometimes 2-3× under ambient co-tenant load on this
+        # container's shared CPUs); min-of-two is the stable estimator
+        times = []
+        for _ in range(2):
+            _cleanup()
+            t0 = time.monotonic()
+            _noop_write(df_fn())
+            times.append(time.monotonic() - t0)
+        out["queries"][name] = round(min(times), 3)
 
     if SCALING_QUERY in names:
         out["counts"]["pages"] = pages_from_documents(spark, sf_dir).count()

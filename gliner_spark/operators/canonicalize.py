@@ -39,11 +39,16 @@ def connected_components(
     entity into several. Diameter-heavy graphs should use
     ``connected_components_star`` (O(log n) rounds) instead."""
     import warnings
+    # materialize the symmetrized edge set ONCE: every iteration joins
+    # against it, and without truncation each round re-executes the
+    # whole upstream linking DAG (shingle inverted-index join etc.) —
+    # measured as the dominant cost of kg_nodes (the star variant
+    # already does this)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-    )
+    ).localCheckpoint()
     # seed with the neighborhood minimum (≡ running iteration 1 inside
     # the init aggregation — saves one full join round)
     labels = (
