@@ -367,10 +367,14 @@ def q_top_users(spark, sf_dir):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: pages → NER mentions → relation triples at sf0.001."""
+    """Flagship: pages → NER mentions → relation triples at sf0.001,
+    in the fused single-pass shape (scan → one Python stage → sink,
+    zero shuffle — the 100 TB plan; value-equal to the modular
+    extract_mentions→extract_relations composition, same TRIPLES
+    schema, proven in tests/test_fused.py and by the shared
+    ner_triples/ner_triples_fused oracle)."""
     pages = pages_from_documents(spark, "/root/testdata/sf0.001")
-    mentions = extract_mentions(pages, SOUP_LABELS)
-    return extract_relations(mentions)
+    return extract_triples_fused(pages, SOUP_LABELS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
