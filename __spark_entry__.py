@@ -346,6 +346,31 @@ def q_skew_join(spark, sf_dir):
     )
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located join over same-bucketed tables (shuffle paid once at
+    write time, zero Exchange in the join plan — asserted in
+    tests/test_extensions.py); result must equal the plain join, so it
+    shares the skew_join-style SQL oracle shape."""
+    from gliner_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    write_bucketed(orders, "gs_bkt_orders", "k", n_buckets=8)
+    write_bucketed(cust, "gs_bkt_cust", "k", n_buckets=8)
+    return (
+        bucketed_join(spark, "gs_bkt_orders", "gs_bkt_cust", "k")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def q_curate(spark, sf_dir):
     return curate(_documents(spark, sf_dir))
 
@@ -422,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "curate": q_curate,
         "skew_join": q_skew_join,
+        "bucketed_join": q_bucketed_join,
     }
 
 
@@ -456,6 +482,11 @@ def oracle_sql() -> dict[str, str]:
         "sample_strata": oracle.sample_sql(),
         "pack_shards": oracle.pack_shards_sql(part_col="lang"),
         "skew_join": """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+        "bucketed_join": """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(o_totalprice), 2) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey

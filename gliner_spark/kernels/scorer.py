@@ -199,6 +199,35 @@ class OnnxScorer:
         )
         return [logits[i] for i in range(bsz)]
 
+    def score_tokens(
+        self,
+        batch_tokens: Sequence[Sequence[Token]],
+        labels: Sequence[str],
+    ) -> List[np.ndarray]:
+        """Token-level model forward: 4-tensor feed (no span_idx/
+        span_mask — /root/reference/src/model.cpp:57-61), output logits
+        of logical shape (3, B, numWords, E) = start/end/inside scores
+        (decoder.cpp:137-159)."""
+        from .encode import encode_batch
+
+        enc = encode_batch(
+            batch_tokens, labels, self._encode_word(), self.max_width,
+            with_spans=False,
+        )
+        feeds = {
+            "input_ids": enc.input_ids,
+            "attention_mask": enc.attention_mask,
+            "words_mask": enc.words_mask,
+            "text_lengths": enc.text_lengths,
+        }
+        (logits,) = self._session().run(["logits"], feeds)
+        bsz = len(batch_tokens)
+        logits = np.asarray(logits, dtype=np.float32).reshape(
+            3, bsz, enc.num_words, len(labels)
+        )
+        # per-document (3, num_words, E) slices for decode_token_logits
+        return [logits[:, i] for i in range(bsz)]
+
 
 def make_scorer(
     max_width: int = 12,

@@ -109,6 +109,53 @@ def test_salted_join_equals_plain_join(spark):
     assert [r.k for r in hot] == ["hot"]
 
 
+# --- bucketed co-located joins ---
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key → the join plan contains no
+    Exchange above either scan (the write-once shuffle is amortized
+    over every later join). A plain path-read join of the same data
+    DOES shuffle — asserted as the contrast."""
+    import io
+    from contextlib import redirect_stdout
+
+    from gliner_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    # disable auto-broadcast so the plan choice is about distribution,
+    # not size
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            orders.withColumnRenamed("o_custkey", "k"), "b_orders", "k", 8
+        )
+        write_bucketed(
+            cust.withColumnRenamed("c_custkey", "k"), "b_cust", "k", 8
+        )
+        joined = bucketed_join(spark, "b_orders", "b_cust", "k")
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+
+        plain = orders.withColumnRenamed("o_custkey", "k").join(
+            cust.withColumnRenamed("c_custkey", "k"), "k"
+        )
+        buf2 = io.StringIO()
+        with redirect_stdout(buf2):
+            plain.explain("formatted")
+        assert "Exchange" in buf2.getvalue()
+
+        # same result set either way
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
 # --- sampling + shard packing ---
 def test_hash_sampling_deterministic_and_stratified(spark):
     from gliner_spark.operators.sampling import sample_by_hash

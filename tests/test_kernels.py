@@ -337,6 +337,49 @@ def test_onnx_scorer_feed_contract_with_mock_session():
         assert lg.dtype == np.float32
 
 
+def test_onnx_scorer_token_feed_contract_with_mock_session():
+    """Token-level models take the 4-tensor feed — NO span_idx/span_mask
+    (/root/reference/src/model.cpp:57-61) — and return logits of logical
+    shape (3, B, numWords, E) (decoder.cpp:137-159)."""
+    from gliner_spark.kernels.scorer import OnnxScorer
+
+    texts = ["Kyiv is the capital of Ukraine.", "Hello"]
+    toks = [tokenize_text(t) for t in texts]
+    labels = ["city", "country"]
+    num_words = max(len(t) for t in toks)
+
+    class FakeEncoding:
+        def __init__(self, ids):
+            self.ids = ids
+
+    class FakeTokenizer:
+        def encode(self, w, add_special_tokens=False):
+            return FakeEncoding([9])
+
+    class MockSession:
+        def run(self, outputs, feeds):
+            assert outputs == ["logits"]
+            assert set(feeds) == {
+                "input_ids", "attention_mask", "words_mask", "text_lengths",
+            }  # 4 tensors only (model.cpp:57-61)
+            bsz = feeds["input_ids"].shape[0]
+            return [np.zeros(3 * bsz * num_words * len(labels),
+                             dtype=np.float32)]
+
+    scorer = OnnxScorer("mock-tok-model", "mock-tok-tok")
+    OnnxScorer._sessions["mock-tok-model"] = MockSession()
+    OnnxScorer._tokenizers["mock-tok-tok"] = FakeTokenizer()
+    try:
+        out = scorer.score_tokens(toks, labels)
+    finally:
+        OnnxScorer._sessions.pop("mock-tok-model")
+        OnnxScorer._tokenizers.pop("mock-tok-tok")
+    assert len(out) == 2
+    for lg in out:
+        assert lg.shape == (3, num_words, len(labels))
+        assert lg.dtype == np.float32
+
+
 # --- property tests ---
 @settings(max_examples=50, deadline=None)
 @given(
