@@ -145,22 +145,40 @@ class OnnxScorer:
     _sessions: Dict[str, object] = {}  # model_path → session (per process)
     _tokenizers: Dict[str, object] = {}
 
-    def __init__(self, model_path: str, tokenizer_path: str, max_width: int = 12):
+    def __init__(self, model_path: str, tokenizer_path: str,
+                 max_width: int = 12, device_id: int = -1):
+        """``device_id >= 0`` selects the CUDA execution provider for
+        that GPU, mirroring Model::useDevice
+        (/root/reference/src/model.cpp:71-77); the default -1 is CPU.
+        On a GPU cluster set one executor per GPU and derive device_id
+        from the executor-local GPU assignment (spark.task.resource.gpu)."""
         self.model_path = model_path
         self.tokenizer_path = tokenizer_path
         self.max_width = max_width
+        self.device_id = device_id
 
     def _session(self):
-        sess = OnnxScorer._sessions.get(self.model_path)
+        key = f"{self.model_path}@{self.device_id}"
+        sess = OnnxScorer._sessions.get(key) or OnnxScorer._sessions.get(
+            self.model_path  # legacy key used by tests' mock injection
+        )
         if sess is None:
             import onnxruntime as ort  # guarded: not in sandbox
 
             opts = ort.SessionOptions()
             opts.intra_op_num_threads = 1
+            if self.device_id >= 0:
+                # CUDA EP with CPU fallback, per model.cpp:71-77
+                providers = [
+                    ("CUDAExecutionProvider", {"device_id": self.device_id}),
+                    "CPUExecutionProvider",
+                ]
+            else:
+                providers = ["CPUExecutionProvider"]
             sess = ort.InferenceSession(
-                self.model_path, opts, providers=["CPUExecutionProvider"]
+                self.model_path, opts, providers=providers
             )
-            OnnxScorer._sessions[self.model_path] = sess
+            OnnxScorer._sessions[key] = sess
         return sess
 
     def _encode_word(self):

@@ -47,6 +47,20 @@ def stream_mentions(
     return extract_mentions(pages_stream, labels, config=config)
 
 
+def stream_triples(
+    pages_stream: DataFrame,
+    labels: Sequence[str],
+    config: GlinerConfig = GlinerConfig(),
+) -> DataFrame:
+    """The flagship fused pages→triples job on a stream: relations are
+    intra-document, so the fused single-pass operator is stateless and
+    streams with no state store — identical output to the batch run
+    over the same files (asserted in tests/test_streaming.py)."""
+    from ..operators.ner_fused import extract_triples_fused
+
+    return extract_triples_fused(pages_stream, labels, config=config)
+
+
 def stream_hourly_mentions(
     pages_stream: DataFrame,
     labels: Sequence[str],

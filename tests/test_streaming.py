@@ -59,6 +59,29 @@ def test_stream_mentions_matches_batch(spark, tmp_path):
     assert n_after == n_batch_all
 
 
+def test_stream_triples_matches_batch(spark, tmp_path):
+    """The fused pages→triples flagship is stateless, so the streaming
+    run over the same files must equal the batch run exactly."""
+    from gliner_spark.operators.ner_fused import extract_triples_fused
+    from gliner_spark.streaming.ner_stream import stream_triples
+
+    src = str(tmp_path / "pages3")
+    out = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "ckpt3")
+    synthesize_pages(spark, 120).repartition(3).write.parquet(src)
+
+    batch = sorted(
+        tuple(r) for r in extract_triples_fused(
+            spark.read.parquet(src), ALL_LABELS
+        ).collect()
+    )
+    stream = stream_triples(read_page_stream(spark, src), ALL_LABELS)
+    assert stream.isStreaming
+    run_to_table(stream, out, ckpt)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == batch and len(got) > 0
+
+
 def test_stream_windowed_counts(spark, tmp_path):
     src = str(tmp_path / "pages2")
     synthesize_pages(spark, 100).write.parquet(src)
