@@ -9,6 +9,9 @@ get rows-only entries plus pytest goldens.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -284,15 +287,20 @@ def q_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (rows-only: bucket counts hinge on Spark's xxhash64, which
     DuckDB cannot reproduce; resume semantics are pytest-pinned in
     tests/test_pipeline.py)."""
-    import tempfile
-
     from gliner_spark.operators.checkpoint import (
         checkpoint_write,
         stage_metrics,
         with_part_key,
     )
 
-    root = tempfile.mkdtemp(prefix="gliner_ckpt_")
+    # fixed per-sf root (NOT a fresh mkdtemp per call): repeated
+    # invocations resume against the same manifest — idempotent output
+    # (the second call skips every DONE partition and appends nothing),
+    # and /tmp does not accumulate a new checkpoint tree per run
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"gliner_ckpt_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
     n_buckets = 16
     stats = with_part_key(
         token_stats(_documents(spark, sf_dir)).withColumn(
@@ -359,8 +367,18 @@ def q_bucketed_join(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").alias("k"), "c_mktsegment"
     )
-    write_bucketed(orders, "gs_bkt_orders", "k", n_buckets=8)
-    write_bucketed(cust, "gs_bkt_cust", "k", n_buckets=8)
+    # fixed per-sf external paths under /tmp (the driver session's
+    # warehouse dir — cwd/spark-warehouse — may not be writable, and a
+    # fresh dir per call would leak a parquet copy per invocation);
+    # overwrite rewrites the same location
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"gliner_bkt_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    write_bucketed(orders, "gs_bkt_orders", "k", n_buckets=8,
+                   path=f"{root}/orders")
+    write_bucketed(cust, "gs_bkt_cust", "k", n_buckets=8,
+                   path=f"{root}/cust")
     return (
         bucketed_join(spark, "gs_bkt_orders", "gs_bkt_cust", "k")
         .groupBy("c_mktsegment")

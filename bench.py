@@ -240,15 +240,19 @@ def main() -> None:
     t_kg = queries[SCALING_QUERY]
 
     # scaling proxy (BASELINE.md): same job, same input, N vs 4N cores,
-    # separate JVMs, corpus sized to amortize fixed costs. The 4N run is
-    # short (~13 s) and therefore disproportionately sensitive to
-    # ambient co-tenant stalls on this container, while the N run
-    # (~50 s) measures stably — so the 4N worker is spawned TWICE in
-    # separate time windows and the better window wins (each spawn is
-    # already min-of-two internally).
+    # separate JVMs, corpus sized to amortize fixed costs. BOTH levels
+    # are spawned twice in interleaved time windows and the better
+    # window wins per level (each spawn is min-of-two internally):
+    # ambient co-tenant stalls on this container hit short runs 2-3×,
+    # and the estimator must stay SYMMETRIC — min-of-4 on one side vs
+    # min-of-2 on the other would bias efficiency upward by
+    # construction.
     lo = _spawn(SCALING_N, [SCALE_JOB])
     hi = _spawn(SCALING_N * 4, [SCALE_JOB])
+    lo2 = _spawn(SCALING_N, [SCALE_JOB])
     hi2 = _spawn(SCALING_N * 4, [SCALE_JOB])
+    if lo2["queries"][SCALE_JOB] < lo["queries"][SCALE_JOB]:
+        lo = lo2
     if hi2["queries"][SCALE_JOB] < hi["queries"][SCALE_JOB]:
         hi = hi2
     t_lo = lo["queries"][SCALE_JOB]

@@ -45,16 +45,23 @@ class GlinerModel:
         max_width: int = 12,
         max_length: int = 512,
         model_type: str = SPAN_LEVEL,
+        device_id: int = -1,
     ):
+        """``device_id >= 0`` mirrors the reference's GPU constructor
+        overload (Model::useDevice, /root/reference/src/model.cpp:36-48,
+        71-77): the ONNX session is created on that CUDA device."""
         self.config = GlinerConfig(
             max_width=max_width, max_length=max_length, model_type=model_type
         )
         if model_type == TOKEN_LEVEL and model_path is None:
             self._scorer = TokenSurrogateScorer()
         else:
-            self._scorer = make_scorer(max_width, model_path, tokenizer_path)
+            self._scorer = make_scorer(
+                max_width, model_path, tokenizer_path, device_id=device_id
+            )
         self._model_path = model_path
         self._tokenizer_path = tokenizer_path
+        self._device_id = device_id
 
     # --- library mode (tests/test.cpp:41-68 use the stages directly) ---
     def tokenize_text(self, text: str):
@@ -108,13 +115,13 @@ class GlinerModel:
             multi_label=multi_label,
         )
         mp, tp, mw = self._model_path, self._tokenizer_path, cfg.max_width
-        mt = cfg.model_type
+        mt, dev = cfg.model_type, self._device_id
 
         def factory():
             if mt == TOKEN_LEVEL and mp is None:
                 return TokenSurrogateScorer()
             if mp:
-                return make_scorer(mw, mp, tp)
+                return make_scorer(mw, mp, tp, device_id=dev)
             return SurrogateScorer(mw)
 
         return extract_mentions(

@@ -159,9 +159,11 @@ class OnnxScorer:
 
     def _session(self):
         key = f"{self.model_path}@{self.device_id}"
-        sess = OnnxScorer._sessions.get(key) or OnnxScorer._sessions.get(
-            self.model_path  # legacy key used by tests' mock injection
-        )
+        sess = OnnxScorer._sessions.get(key)
+        if sess is None and self.device_id < 0:
+            # bare-path key (tests' mock injection) is CPU-only: a scorer
+            # that requested a GPU must never silently get a CPU session
+            sess = OnnxScorer._sessions.get(self.model_path)
         if sess is None:
             import onnxruntime as ort  # guarded: not in sandbox
 
@@ -251,13 +253,16 @@ def make_scorer(
     max_width: int = 12,
     model_path: str | None = None,
     tokenizer_path: str | None = None,
+    device_id: int = -1,
 ):
-    """ONNX when configured & importable, surrogate otherwise."""
+    """ONNX when configured & importable, surrogate otherwise.
+    ``device_id >= 0`` routes to the CUDA EP (model.cpp:71-77)."""
     if model_path and tokenizer_path:
         try:
             import onnxruntime  # noqa: F401
 
-            return OnnxScorer(model_path, tokenizer_path, max_width)
+            return OnnxScorer(model_path, tokenizer_path, max_width,
+                              device_id=device_id)
         except ImportError:
             pass
     return SurrogateScorer(max_width)

@@ -33,13 +33,21 @@ def write_bucketed(
     key: str,
     n_buckets: int = 16,
     sort: bool = True,
+    path: str | None = None,
 ) -> None:
-    """Materialize ``df`` as a bucketed (and bucket-sorted) managed
-    table. One shuffle now; zero shuffles for every later equi-join or
-    aggregation on ``key`` between same-bucketed tables."""
+    """Materialize ``df`` as a bucketed (and bucket-sorted) table. One
+    shuffle now; zero shuffles for every later equi-join or aggregation
+    on ``key`` between same-bucketed tables.
+
+    ``path`` makes the table external at that location — use it when
+    the session's warehouse dir (default: cwd/spark-warehouse) may not
+    be writable; bucket metadata still lives in the catalog either way.
+    """
     writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)
+    if path:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 

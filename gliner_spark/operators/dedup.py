@@ -241,13 +241,20 @@ def simhash_signatures(
     Arrow-batched pandas stage, fully numpy-vectorized over the
     concatenated int64 hash arrays (no per-token Python). Zero shuffle:
     both stages are row-local."""
+    # empty/null text → empty hash array (signature 0, matching the
+    # reference kernel _simhash64([]) == 0 — otherwise empty docs would
+    # all carry xxhash64("")'s bit pattern and false-pair with anything
+    # hashing near that constant)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    hashes = F.when(
+        F.length(text) == 0, F.array().cast("array<long>")
+    ).otherwise(
+        F.transform(F.split(text, " "), lambda w: F.xxhash64(w))
+    )
     src = ensure_parallelism(
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            F.transform(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
-                lambda w: F.xxhash64(w),
-            ).alias("hs"),
+            hashes.alias("hs"),
         )
     )
 
@@ -256,23 +263,23 @@ def simhash_signatures(
         for pdf in batches:
             arrs = [np.asarray(a, dtype=np.int64) for a in pdf["hs"]]
             n_docs = len(arrs)
-            if n_docs == 0:
-                yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
-                                    "simhash": pd.Series([], dtype="int64")})
-                continue
             lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
                                count=n_docs)
-            # split("", " ") yields [""] → every doc has ≥ 1 token, so
-            # reduceat group boundaries are strictly increasing
-            flat = np.concatenate(arrs).view(np.uint64)
-            bits = (flat[:, None] >> bit_idx) & np.uint64(1)  # (N, 64)
-            starts = np.zeros(n_docs, dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            votes = np.add.reduceat(bits.view(np.int64), starts, axis=0)
-            keep = (2 * votes) > lens[:, None]  # majority-positive bit
             sig = np.zeros(n_docs, dtype=np.uint64)
-            for i in range(64):
-                sig |= keep[:, i].astype(np.uint64) << np.uint64(i)
+            nz = lens > 0  # empty docs keep signature 0
+            if nz.any():
+                nz_arrs = [a for a in arrs if len(a)]
+                nz_lens = lens[nz]
+                flat = np.concatenate(nz_arrs).view(np.uint64)
+                bits = (flat[:, None] >> bit_idx) & np.uint64(1)  # (N, 64)
+                starts = np.zeros(len(nz_arrs), dtype=np.int64)
+                np.cumsum(nz_lens[:-1], out=starts[1:])
+                votes = np.add.reduceat(bits.view(np.int64), starts, axis=0)
+                keep = (2 * votes) > nz_lens[:, None]  # majority bit
+                s = np.zeros(len(nz_arrs), dtype=np.uint64)
+                for i in range(64):
+                    s |= keep[:, i].astype(np.uint64) << np.uint64(i)
+                sig[nz] = s
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"),
                  "simhash": pd.Series(sig.view(np.int64))}

@@ -178,7 +178,9 @@ def _ivf_assign(corpus: DataFrame, centroids: np.ndarray,
     import pandas as pd
     from pyspark.sql import types as T
 
-    cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cnorm = np.linalg.norm(centroids, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0  # a zero centroid must not NaN-poison argmax
+    cent = centroids / cnorm
     out_schema = T.StructType(
         corpus.schema.fields + [T.StructField("cell", T.IntegerType())]
     )
@@ -249,7 +251,9 @@ def ivf_topk(
 
     assigned = _ivf_assign(corpus, centroids)
     qrows = corpus.where(F.col("neighbor_id").isin(list(query_ids))).collect()
-    cent_n = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn = np.linalg.norm(centroids, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    cent_n = centroids / cn
     probe_pairs = []
     for r in qrows:
         qv = np.asarray(r.v, dtype=np.float64)
@@ -313,7 +317,7 @@ def embedding_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.40,
     n_bits: int = 3,
-    n_tables: int = 24,
+    n_tables: int = 32,
     seed: int = 5,
     max_bucket: int = 100_000,
     id_col: str = "vec_id",
@@ -327,11 +331,12 @@ def embedding_dup_pairs_lsh(
 
     Recall is tunable via (n_bits, n_tables): per-plane agreement for a
     pair at cosine c is 1 − arccos(c)/π, per-table collision p^n_bits,
-    miss prob (1 − p^n_bits)^n_tables. The defaults (3 bits × 24 tables)
-    give measured recall 1.0 vs the exact O(n²) form on the sf0.01/sf0.1
-    test corpora (asserted in tests) — the driver's exact SQL oracle
-    stays valid. ``max_bucket`` bounds pathological buckets the same way
-    the MinHash band join does."""
+    miss prob (1 − p^n_bits)^n_tables. The defaults (3 bits × 32
+    tables) put the per-pair miss probability at threshold-cosine 0.40
+    near 1e-4 — measured recall 1.0 vs the exact O(n²) form on the
+    sf0.01/sf0.1 test corpora (asserted in tests), so the driver's
+    exact SQL oracle stays valid with margin. ``max_bucket`` bounds
+    pathological buckets the same way the MinHash band join does."""
     corpus = embeddings.select(
         F.col(id_col).cast("long").alias("nid"),
         _as_double(F.col(vec_col)).alias("v"),
