@@ -62,6 +62,7 @@ from gliner_spark.operators.similarity import (
 from gliner_spark.operators.textstats import (
     detect_language,
     doc_fingerprints,
+    length_quantiles,
     quality_score,
     token_stats,
 )
@@ -208,6 +209,12 @@ def q_lang_id(spark, sf_dir):
 
 def q_fingerprints(spark, sf_dir):
     return doc_fingerprints(_documents(spark, sf_dir))
+
+
+def q_length_quantiles(spark, sf_dir):
+    # exact continuous percentiles per stratum (corpus profiling);
+    # Spark percentile == DuckDB quantile_cont interpolation
+    return length_quantiles(_documents(spark, sf_dir))
 
 
 def q_mm_meta(spark, sf_dir):
@@ -443,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "length_quantiles": q_length_quantiles,
         "mm_meta": q_mm_meta,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
@@ -486,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": oracle.quality_sql(),
         "lang_id": oracle.lang_id_sql(),
         "fingerprints": oracle.fingerprints_sql(),
+        "length_quantiles": oracle.length_quantiles_sql(),
         "mm_meta": oracle.mm_meta_sql(),
         "mm_frames": oracle.mm_frames_sql(),
         "sessionize": oracle.sessionize_sql(),

@@ -112,6 +112,24 @@ def detect_language(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def length_quantiles(docs: DataFrame, text_col: str = "text",
+                     strata_col: str = "lang") -> DataFrame:
+    """(lang, n_docs, p25, p50, p75, p95): EXACT continuous percentiles
+    of token counts per stratum — the corpus-profiling pass a curation
+    pipeline runs to pick length cutoffs. Uses SQL-standard linear
+    interpolation (``percentile``), which matches DuckDB's
+    ``quantile_cont`` value-for-value; at 10^12 rows swap in
+    ``approx_percentile`` with an error bound (same call shape)."""
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("double")
+    return docs.groupBy(F.col(strata_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.round(F.percentile(n_tok, q), 4).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.5, 0.75, 0.95)
+        ],
+    )
+
+
 def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(doc_id, content_hash, bag_fp, prefix_fp): three fingerprints —

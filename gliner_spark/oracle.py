@@ -414,6 +414,20 @@ SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
 FROM h"""
 
 
+def length_quantiles_sql() -> str:
+    """Mirrors operators/textstats.length_quantiles (quantile_cont uses
+    the same SQL-standard linear interpolation as Spark's percentile)."""
+    qs = ",\n       ".join(
+        f"ROUND(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE),"
+        f" {q}), 4) AS p{int(q * 100)}"
+        for q in (0.25, 0.5, 0.75, 0.95)
+    )
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {qs}
+FROM documents GROUP BY lang"""
+
+
 def mm_meta_sql() -> str:
     """Mirrors operators/multimodal.attach_media + media_metadata."""
     return """
