@@ -259,33 +259,42 @@ def simhash_signatures(
     )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["hs"]]
-            n_docs = len(arrs)
-            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
-                               count=n_docs)
-            sig = np.zeros(n_docs, dtype=np.uint64)
-            nz = lens > 0  # empty docs keep signature 0
-            if nz.any():
-                nz_arrs = [a for a in arrs if len(a)]
-                nz_lens = lens[nz]
-                flat = np.concatenate(nz_arrs).view(np.uint64)
-                bits = (flat[:, None] >> bit_idx) & np.uint64(1)  # (N, 64)
-                starts = np.zeros(len(nz_arrs), dtype=np.int64)
-                np.cumsum(nz_lens[:-1], out=starts[1:])
-                votes = np.add.reduceat(bits.view(np.int64), starts, axis=0)
-                keep = (2 * votes) > nz_lens[:, None]  # majority bit
-                s = np.zeros(len(nz_arrs), dtype=np.uint64)
-                for i in range(64):
-                    s |= keep[:, i].astype(np.uint64) << np.uint64(i)
-                sig[nz] = s
+            sig = simhash_vote_batch(
+                [np.asarray(a, dtype=np.int64) for a in pdf["hs"]]
+            )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"),
-                 "simhash": pd.Series(sig.view(np.int64))}
+                 "simhash": pd.Series(sig)}
             )
 
     return src.mapInPandas(compute, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_vote_batch(arrs: list) -> np.ndarray:
+    """Majority bit-vote over a batch of per-doc int64 hash arrays →
+    int64 signatures (empty array → 0). One vectorized ``reduceat``
+    over the concatenated batch — the kernel both the Spark stage and
+    the property tests call."""
+    bit_idx = np.arange(64, dtype=np.uint64)
+    n_docs = len(arrs)
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n_docs)
+    sig = np.zeros(n_docs, dtype=np.uint64)
+    nz = lens > 0  # empty docs keep signature 0
+    if nz.any():
+        nz_arrs = [a for a in arrs if len(a)]
+        nz_lens = lens[nz]
+        flat = np.concatenate(nz_arrs).view(np.uint64)
+        bits = (flat[:, None] >> bit_idx) & np.uint64(1)  # (N, 64)
+        starts = np.zeros(len(nz_arrs), dtype=np.int64)
+        np.cumsum(nz_lens[:-1], out=starts[1:])
+        votes = np.add.reduceat(bits.view(np.int64), starts, axis=0)
+        keep = (2 * votes) > nz_lens[:, None]  # majority-positive bit
+        s = np.zeros(len(nz_arrs), dtype=np.uint64)
+        for i in range(64):
+            s |= keep[:, i].astype(np.uint64) << np.uint64(i)
+        sig[nz] = s
+    return sig.view(np.int64)
 
 
 def simhash_dups(
