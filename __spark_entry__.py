@@ -44,6 +44,7 @@ from gliner_spark.operators.multimodal import (
 from gliner_spark.operators.relational import (
     RELATIONAL_SQL,
     customers_without_orders,
+    urgent_order_priority,
     events_cube,
     nation_setops,
     pricing_summary,
@@ -461,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_rollup": revenue_rollup,
         "tpch_top_nations": top_nation_revenue,
         "tpch_no_orders": customers_without_orders,
+        "tpch_urgent": urgent_order_priority,
         "events_windows": window_combo,
         "events_cube": events_cube,
         "nation_setops": nation_setops,

@@ -84,7 +84,37 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def urgent_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — SEMI join (EXISTS): count orders per priority
+    that have at least one late-shipped discounted lineitem (predicate
+    adapted to the synthetic schema, which lacks commit/receipt dates).
+    The semi join ships only the
+    distinct probe keys, never multiplies rows."""
+    orders = _t(spark, sf_dir, "orders")
+    late = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") > F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+    )
+    return (
+        orders.join(
+            late, orders.o_orderkey == late.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 RELATIONAL_SQL = {
+    "tpch_urgent": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    AND l_discount >= 0.05
+)
+GROUP BY o_orderpriority""",
     "tpch_pricing": """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
