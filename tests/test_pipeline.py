@@ -71,6 +71,41 @@ def test_checkpoint_resume(spark, tmp_path):
     assert metrics2.count() == n_parts  # no new manifest rows appended
 
 
+def test_incremental_merge_equals_from_scratch(spark, tmp_path):
+    """merge(A) then merge(B) must yield node/edge tables identical to
+    building over A ∪ B from scratch, and mention scoring must be
+    append-only (second merge of the same batch is a manifest no-op)."""
+    from gliner_spark.plans.incremental import merge_kg_batch
+
+    root = str(tmp_path / "ikg")
+    pages = synthesize_pages(spark, 200).persist()
+    batch_a = pages.where(F.xxhash64("url") % 2 == 0)
+    batch_b = pages.where(F.xxhash64("url") % 2 != 0)
+
+    merge_kg_batch(batch_a, ALL_LABELS, root)
+    n_manifest = stage_metrics(spark, root).count()
+    kg_inc = merge_kg_batch(batch_b, ALL_LABELS, root)
+
+    full = build_kg(pages, ALL_LABELS)
+
+    def rows(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    node_cols = ["entity_id", "canonical", "label", "n_mentions",
+                 "n_surfaces"]
+    edge_cols = ["src_entity", "dst_entity", "pred", "support", "weight"]
+    assert rows(kg_inc.nodes, node_cols) == rows(full.nodes, node_cols)
+    assert rows(kg_inc.edges, edge_cols) == rows(full.edges, edge_cols)
+    assert kg_inc.mentions.count() == full.mentions.count()
+
+    # idempotence: re-merging batch_b adds no manifest rows, no mentions
+    n_after = stage_metrics(spark, root).count()
+    kg_again = merge_kg_batch(batch_b, ALL_LABELS, root)
+    assert stage_metrics(spark, root).count() == n_after > n_manifest
+    assert kg_again.mentions.count() == kg_inc.mentions.count()
+    pages.unpersist()
+
+
 def test_checkpoint_zero_row_partitions_marked_done(spark, tmp_path):
     """Input partitions yielding zero output rows must still get a
     manifest row (n_rows=0) so resume never reprocesses them."""
