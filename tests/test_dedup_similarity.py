@@ -64,6 +64,37 @@ def test_minhash_recall_vs_exact_ngram(docs):
     assert recall >= 0.9, f"minhash recall {recall}"
 
 
+def test_minhash_equals_exact_at_gate_scale(spark):
+    """dedup_minhash shares dedup_ngram's EXACT DuckDB oracle: with
+    b=32/r=4 a J=0.8 pair is missed with prob (1-0.8^4)^32 ≈ 5e-8 (the
+    seeded dups sit at J≈0.99 → ~1e-45) and candidates are verified with
+    the identical Jaccard expression, so the outputs must be set-equal
+    including sims on the gate corpus."""
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {tuple(r) for r in ngram_jaccard_dups(d).collect()}
+    mh = {tuple(r) for r in minhash_dups(d).collect()}
+    assert exact and mh == exact
+
+
+def test_ann_lsh_and_ivf_exact_at_gate_scale(spark):
+    """ann_topk_lsh / ann_topk_ivf share ann_topk's EXACT oracle:
+    - LSH at 2 bits × 32 tables: per-(query,neighbor) miss probability
+      at the corpus's observed top-5 cosine floor (≈0.26) is
+      (1 - p_agree²)^32 ≈ 2e-6 — empirical equality pinned here;
+    - IVF at n_probe = n_cells probes every cell, so candidate
+      completeness holds BY CONSTRUCTION (this is a plan-shape check)."""
+    from gliner_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(8))
+    bf = {tuple(r) for r in brute_force_topk(e, qids, k=5).collect()}
+    lsh = {tuple(r) for r in
+           hyperplane_lsh_topk(e, qids, k=5, n_bits=2, n_tables=32).collect()}
+    ivf = {tuple(r) for r in
+           ivf_topk(e, qids, k=5, n_cells=16, n_probe=16).collect()}
+    assert bf and lsh == bf and ivf == bf
+
+
 def test_simhash_deterministic_and_catches_dups(docs):
     # kernel determinism (FNV + bit votes are process-independent)
     assert hash_str_64("spark") == hash_str_64("spark")

@@ -74,6 +74,25 @@ def test_lsh_recall_vs_exact(spark):
     assert len(lsh) >= 0.75 * len(exact) > 0
 
 
+def test_lsh_links_exact_at_gate_scale(spark):
+    """The driver's kg_links_lsh shares kg_links's EXACT DuckDB oracle,
+    which is only valid if the bands=64 (r=1) configuration reproduces
+    exact_jaccard_links bit-for-bit on the gate corpus. Per-pair miss
+    probability at threshold J=0.30 is (1-0.3)^64 ≈ 1e-10, so equality
+    is expected with wide margin; this pins it empirically."""
+    from gliner_spark.kernels.scorer import SOUP_LABELS
+    from gliner_spark.operators.ner import extract_mentions
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    surfaces = entity_surfaces(
+        extract_mentions(docs, SOUP_LABELS, id_col="doc_id", text_col="text")
+    ).persist()
+    exact = {tuple(r) for r in exact_jaccard_links(surfaces).collect()}
+    lsh = {tuple(r) for r in lsh_links(surfaces, bands=64).collect()}
+    surfaces.unpersist()
+    assert exact and lsh == exact
+
+
 def test_shingles_short_string(spark):
     df = spark.range(1).select(char_shingles(F.lit("ab"), 3).alias("sh"))
     assert df.collect()[0].sh == ["ab"]
