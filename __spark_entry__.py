@@ -318,37 +318,52 @@ def q_ner_nested_multilabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ckpt_content_key(sf_dir: str) -> str:
+    """Checkpoint-root fingerprint: sf_dir path + documents.parquet
+    size/mtime + the stage-logic version. A regenerated corpus or a
+    logic change lands in a FRESH root — a stale manifest would mark
+    every partition DONE and silently serve old data (ADVICE r2)."""
+    parts = [sf_dir, oracle.STAGE_METRICS_VERSION]
+    p = os.path.join(sf_dir, "documents.parquet")
+    paths = (
+        [os.path.join(p, f) for f in sorted(os.listdir(p))]
+        if os.path.isdir(p) else [p]
+    )
+    for fp in paths:
+        if os.path.exists(fp):
+            st = os.stat(fp)
+            parts.append(f"{os.path.basename(fp)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def q_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint/resume north-rule surface: run a checkpointed stage
-    into a fresh manifest root, return the per-partition lineage/metrics
-    rows (rows-only: bucket counts hinge on Spark's xxhash64, which
-    DuckDB cannot reproduce; resume semantics are pytest-pinned in
-    tests/test_pipeline.py)."""
+    into a content-keyed manifest root, return the per-partition
+    lineage/metrics rows. EXACT oracle: the part key is ``doc_id % 16``
+    (with_part_key method="mod"), which DuckDB reproduces verbatim, and
+    manifest row counts are deterministic; resume semantics (DONE skip,
+    zero-row partitions) stay pytest-pinned in tests/test_pipeline.py.
+
+    The fixed content-keyed root (NOT a fresh mkdtemp per call) makes
+    repeated invocations resume against the same manifest — idempotent
+    output — while data/logic changes rotate the root."""
     from gliner_spark.operators.checkpoint import (
         checkpoint_write,
         stage_metrics,
         with_part_key,
     )
 
-    # fixed per-sf root (NOT a fresh mkdtemp per call): repeated
-    # invocations resume against the same manifest — idempotent output
-    # (the second call skips every DONE partition and appends nothing),
-    # and /tmp does not accumulate a new checkpoint tree per run
     root = os.path.join(
-        tempfile.gettempdir(),
-        f"gliner_ckpt_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        tempfile.gettempdir(), f"gliner_ckpt_{_ckpt_content_key(sf_dir)}"
     )
     n_buckets = 16
     stats = with_part_key(
-        token_stats(_documents(spark, sf_dir)).withColumn(
-            "doc_id_str", F.col("doc_id").cast("string")
-        ),
-        "doc_id_str",
-        n_buckets=n_buckets,
-    ).drop("doc_id_str")
+        token_stats(_documents(spark, sf_dir)), "doc_id",
+        n_buckets=n_buckets, method="mod",
+    )
     checkpoint_write(
         stats, root, "token_stats",
-        lineage={"input": "documents", "op": "token_stats"},
+        lineage=oracle.STAGE_METRICS_LINEAGE,
         expected_part_keys=[str(i) for i in range(n_buckets)],
     )
     return stage_metrics(spark, root).select(
@@ -541,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "ner_mentions_sorted": oracle.ner_mentions_sql(),
         "ner_mentions_token": oracle.token_mentions_sql(),
         "ner_nested_multilabel": oracle.ner_nested_sql(),
+        "stage_metrics": oracle.stage_metrics_sql(),
         "sample_strata": oracle.sample_sql(),
         "pack_shards": oracle.pack_shards_sql(part_col="lang"),
         "skew_join": """

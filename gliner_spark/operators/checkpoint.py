@@ -30,13 +30,23 @@ PART_COL = "part_key"
 DONE = "done"
 
 
-def with_part_key(df: DataFrame, key_col: str, n_buckets: int = 64) -> DataFrame:
+def with_part_key(
+    df: DataFrame, key_col: str, n_buckets: int = 64, method: str = "hash"
+) -> DataFrame:
     """Deterministic bucket key: stable across runs and cluster sizes
-    (content-hash, not partition id — partition ids are not stable under
-    different parallelism, bucket hashes are)."""
-    return df.withColumn(
-        PART_COL, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("string")
-    )
+    (content-derived, not partition id — partition ids are not stable
+    under different parallelism, content buckets are).
+
+    method="hash" (default): ``pmod(xxhash64(key), n)`` — works for any
+    key type and spreads adversarial key distributions.
+    method="mod": ``pmod(key, n)`` for numeric keys — same stability,
+    and reproducible by any ANSI-SQL engine (``key % n``), which lets a
+    checkpointed stage's manifest carry an EXACT external oracle."""
+    if method == "mod":
+        key = F.pmod(F.col(key_col).cast("long"), F.lit(n_buckets))
+    else:
+        key = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    return df.withColumn(PART_COL, key.cast("string"))
 
 
 def _manifest_path(root: str) -> str:

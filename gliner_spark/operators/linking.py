@@ -37,18 +37,37 @@ def surface_key():
     return F.concat(F.col("label"), F.lit(":"), F.lower(F.col("m_text")))
 
 
-def entity_surfaces(mentions: DataFrame) -> DataFrame:
+def entity_surfaces(mentions: DataFrame, salt_buckets: int = 0) -> DataFrame:
     """Distinct (label, surface) with support — the linking universe.
     Aggregation shrinks the input by orders of magnitude before any
-    pairwise work (distinct surfaces ≪ mentions at web scale)."""
-    return (
-        mentions.groupBy(
+    pairwise work (distinct surfaces ≪ mentions at web scale).
+
+    ``salt_buckets > 1`` switches to an explicit two-phase salted
+    aggregation (partial count by (label, surface, salt), final sum by
+    (label, surface)) — output identical, but a hot surface's rows are
+    guaranteed to spread over ``salt_buckets`` reducers in the first
+    shuffle instead of landing on one. The salt is a pure function of
+    row content (xxhash64 over doc_id + offset), so task retries are
+    deterministic. plans/kg.py enables this when its hot-key probe
+    fires (cfg.salt_buckets / cfg.hot_key_threshold)."""
+    if salt_buckets > 1:
+        partial = mentions.groupBy(
+            F.col("label"),
+            F.lower(F.col("m_text")).alias("surface"),
+            F.pmod(
+                F.xxhash64(F.col("doc_id"), F.col("m_start")),
+                F.lit(salt_buckets),
+            ).alias("_salt"),
+        ).agg(F.count(F.lit(1)).alias("_n"))
+        agg = partial.groupBy("label", "surface").agg(
+            F.sum("_n").alias("n_mentions")
+        )
+    else:
+        agg = mentions.groupBy(
             F.col("label"), F.lower(F.col("m_text")).alias("surface")
-        )
-        .agg(F.count(F.lit(1)).alias("n_mentions"))
-        .withColumn(
-            "sid", F.concat(F.col("label"), F.lit(":"), F.col("surface"))
-        )
+        ).agg(F.count(F.lit(1)).alias("n_mentions"))
+    return agg.withColumn(
+        "sid", F.concat(F.col("label"), F.lit(":"), F.col("surface"))
     )
 
 

@@ -40,21 +40,27 @@ def salted_equi_join(
     n_salts: int = 8,
     threshold: int = 100_000,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join with per-hot-key salting; output ≡ ``big.join(small,
     key, how)`` for inner/left joins on the big side.
 
     The salt is a pure function of the big-side row (xxhash64 over ALL
-    its columns): deterministic across task retries and stage
-    recomputation — a row always lands on the same salt, so a
-    fetch-failure recompute cannot duplicate or lose joined rows (the
-    SPARK-23207 class of hazard a ``monotonically_increasing_id`` salt
-    would reintroduce). Identical big-side rows share a salt, which is
-    fine: uniform spread only requires the hot KEY's rows to hash to
-    many salts, and the non-key columns vary per row.
+    its columns, or ``salt_cols`` if given): deterministic across task
+    retries and stage recomputation — a row always lands on the same
+    salt, so a fetch-failure recompute cannot duplicate or lose joined
+    rows (the SPARK-23207 class of hazard a
+    ``monotonically_increasing_id`` salt would reintroduce).
+
+    PRECONDITION: the big side's NON-KEY columns must vary within a hot
+    key, or the content salt degenerates to one value and the skew goes
+    unmitigated (e.g. a projection containing only the join key —
+    identical rows all hash to the same salt). When the caller can't
+    guarantee that, pass ``salt_cols`` naming a stable per-row
+    discriminator (a row id, source offset, url …) to salt on instead.
     """
     hk = hot_keys(big, key, threshold).withColumn("_hot", F.lit(True))
-    row_hash = F.xxhash64(*[F.col(c) for c in big.columns])
+    row_hash = F.xxhash64(*[F.col(c) for c in (salt_cols or big.columns)])
 
     b = big.join(F.broadcast(hk), key, "left").withColumn(
         "_salt",
@@ -77,16 +83,24 @@ def salted_equi_join(
 
 
 def salted_group_count(
-    df: DataFrame, key: str, n_salts: int = 8
+    df: DataFrame, key: str, n_salts: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-proof ``groupBy(key).count()``: partial count by (key, salt)
     then final sum by key. (Spark's hash agg already does map-side
     partials; this pattern matters for ``applyInPandas``-style groups and
-    is kept as the template for them.)"""
+    is kept as the template for them.)
+
+    Same PRECONDITION as salted_equi_join: rows within a hot key must
+    differ on some salted column — pass ``salt_cols`` with a per-row
+    discriminator when ``df`` is a key-only projection."""
     salted = df.withColumn(
         "_salt",
         # pure function of the row (see salted_equi_join): retry-safe
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in (salt_cols or df.columns)]),
+            F.lit(n_salts),
+        ),
     )
     partial = salted.groupBy(key, "_salt").agg(
         F.count(F.lit(1)).alias("_partial")

@@ -467,6 +467,37 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
 FROM f"""
 
 
+STAGE_METRICS_VERSION = "token_stats/mod16/v3"
+STAGE_METRICS_LINEAGE = {
+    "input": "documents",
+    "op": "token_stats",
+    "version": STAGE_METRICS_VERSION,
+}
+
+
+def stage_metrics_sql(n_buckets: int = 16) -> str:
+    """Mirrors the driver's q_stage_metrics manifest: one DONE row per
+    ``doc_id % n_buckets`` bucket with the bucket's row count and the
+    lineage JSON (json.dumps sort_keys=True — reproduced literally).
+    The key-universe LEFT JOIN mirrors ``expected_part_keys``: buckets
+    with zero rows still appear as DONE/0."""
+    import json
+
+    lineage = json.dumps(STAGE_METRICS_LINEAGE, sort_keys=True)
+    return f"""
+WITH counts AS (
+  SELECT doc_id % {n_buckets} AS k, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM documents GROUP BY doc_id % {n_buckets}
+),
+keys AS (SELECT unnest(generate_series(0, {n_buckets - 1})) AS k)
+SELECT 'token_stats' AS stage,
+       CAST(keys.k AS VARCHAR) AS part_key,
+       'done' AS status,
+       CAST(COALESCE(counts.n_rows, 0) AS BIGINT) AS n_rows,
+       '{lineage}' AS lineage
+FROM keys LEFT JOIN counts USING (k)"""
+
+
 # ---------------------------------------------------------------------------
 # event analytics oracles (operators/events.py)
 # ---------------------------------------------------------------------------

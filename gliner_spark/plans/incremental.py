@@ -60,10 +60,18 @@ def merge_kg_batch(
         config=cfg.gliner,
     )
     # append-only stages: the manifest left-anti skips anything already
-    # processed, so calling merge twice with the same batch is a no-op
+    # processed, so calling merge twice with the same batch is a no-op.
+    # expected_part_keys = the batch's full part-key universe (derived
+    # from the INPUT ids, not the mention output): partitions whose docs
+    # yield zero mentions are invisible in new_mentions and would be
+    # re-scored on every subsequent merge unless recorded DONE/0 here.
+    batch_keys = with_part_key(
+        new_pages.select(F.col(id_col).alias("doc_id")), "doc_id"
+    ).select("part_key")
     checkpoint_write(
         with_part_key(new_mentions, "doc_id"), checkpoint_root, "mentions",
         lineage={"labels": list(labels)},
+        expected_part_keys=batch_keys,
     )
     mentions = spark.read.parquet(f"{checkpoint_root}/mentions")
 

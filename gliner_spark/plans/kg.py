@@ -77,7 +77,27 @@ def build_kg(
             with_part_key(triples, "doc_id"), checkpoint_root, "triples"
         )
 
-    surfaces = entity_surfaces(mentions)
+    # hot-key probe before the link-scoring shuffle (north rule: skewed
+    # domains salted): if any surface key exceeds hot_key_threshold
+    # mentions, the surface aggregation runs in the explicit two-phase
+    # salted form (identical output, hot keys spread over salt_buckets
+    # reducers). The probe is one cheap count-aggregation over the
+    # already-persisted mentions; downstream, LSH band-join skew is
+    # bounded separately by lsh_links' max_bucket guard (mega-buckets
+    # carry no signal and are dropped — the key-splitting analogue).
+    salt = 0
+    if cfg.salt_buckets > 1:
+        from ..operators.linking import surface_key
+        from ..operators.skew import hot_keys
+
+        probe = hot_keys(
+            mentions.select(surface_key().alias("sk")),
+            "sk",
+            cfg.hot_key_threshold,
+        )
+        if probe.take(1):
+            salt = cfg.salt_buckets
+    surfaces = entity_surfaces(mentions, salt_buckets=salt)
     links = lsh_links(
         surfaces,
         k=cfg.shingle_k,

@@ -106,6 +106,42 @@ def test_incremental_merge_equals_from_scratch(spark, tmp_path):
     pages.unpersist()
 
 
+def test_incremental_merge_records_zero_mention_partitions(spark, tmp_path):
+    """The mentions-stage manifest after a merge must cover the batch's
+    FULL part-key universe — partitions whose docs yield zero mentions
+    included (DONE/0). Without expected_part_keys those keys would be
+    re-scored (a full NER pass for those partitions) on EVERY subsequent
+    merge (ADVICE r2)."""
+    from gliner_spark.plans.incremental import merge_kg_batch
+    from gliner_spark.sources.pages import wrap_html
+
+    root = str(tmp_path / "ikg0")
+    # mostly mention-free pages (no gazetteer words) + a few with entities:
+    # with 64 hash buckets over 48 urls, several buckets are mention-free
+    rows = [(f"https://z.example/{i}", "zzz qqq xxx yyy") for i in range(40)]
+    rows += [(f"https://k.example/{i}", "Kyiv is the capital of Ukraine.")
+             for i in range(8)]
+    pages = spark.createDataFrame(rows, "url string, text string").select(
+        "url", F.to_timestamp(F.lit("2024-05-01")).alias("warc_ts"),
+        wrap_html(F.col("text")).alias("html"), "text", F.lit("en").alias("lang"),
+    )
+    merge_kg_batch(pages, ALL_LABELS, root)
+    expected = {
+        r.part_key
+        for r in with_part_key(
+            pages.select(F.col("url").alias("doc_id")), "doc_id"
+        ).select("part_key").distinct().collect()
+    }
+    manifest = stage_metrics(spark, root).where(F.col("stage") == "mentions")
+    got = {r.part_key for r in manifest.collect()}
+    assert got == expected
+    assert manifest.where(F.col("n_rows") == 0).count() > 0
+    # idempotence: re-merging appends no manifest rows (nothing re-scored)
+    n = stage_metrics(spark, root).count()
+    merge_kg_batch(pages, ALL_LABELS, root)
+    assert stage_metrics(spark, root).count() == n
+
+
 def test_checkpoint_zero_row_partitions_marked_done(spark, tmp_path):
     """Input partitions yielding zero output rows must still get a
     manifest row (n_rows=0) so resume never reprocesses them."""
@@ -144,6 +180,67 @@ def test_curate_fused_plan_scans_at_most_twice(spark):
         out.explain("formatted")
     assert buf.getvalue().count("Scan parquet") <= 2
     assert out.count() == docs.count()
+
+
+def test_salted_surface_agg_identical_and_wired(spark):
+    """North-rule skew handling: on a corpus with a hot surface key the
+    KG plan's surface aggregation runs in the two-phase salted form
+    (cfg.salt_buckets, previously dead config) — links/nodes must be
+    IDENTICAL salted vs unsalted, and the salted plan must contain two
+    aggregation exchanges (partial by (label, surface, salt), final by
+    (label, surface)) instead of one."""
+    import io
+    from contextlib import redirect_stdout
+
+    from gliner_spark.config import PipelineConfig
+    from gliner_spark.operators.linking import (
+        entity_surfaces,
+        exact_jaccard_links,
+    )
+
+    # skewed mentions: one surface carries 80% of rows
+    rows = [(f"u{i}", i, i + 4, "kyiv", "city", 0.9) for i in range(400)]
+    rows += [(f"v{i}", 0, 8, "new york", "city", 0.9) for i in range(50)]
+    rows += [(f"v{i}", 10, 23, "new york city", "city", 0.9)
+             for i in range(50)]
+    mentions = spark.createDataFrame(
+        rows,
+        "doc_id string, m_start long, m_end long, m_text string, "
+        "label string, prob double",
+    )
+    plain = entity_surfaces(mentions)
+    salted = entity_surfaces(mentions, salt_buckets=8)
+    cols = ["sid", "label", "surface", "n_mentions"]
+    assert sorted(map(tuple, plain.select(*cols).collect())) == sorted(
+        map(tuple, salted.select(*cols).collect())
+    )
+    links_plain = {tuple(r) for r in exact_jaccard_links(plain).collect()}
+    links_salted = {tuple(r) for r in exact_jaccard_links(salted).collect()}
+    assert links_plain == links_salted and links_plain
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        salted.explain("formatted")
+    # "Exchange (" matches the plan-tree node once per exchange (the
+    # detail section prints "(n) Exchange" instead)
+    assert buf.getvalue().count("Exchange (") == 2
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        plain.explain("formatted")
+    assert buf2.getvalue().count("Exchange (") == 1
+
+    # end-to-end wiring: build_kg with a firing hot-key probe must match
+    # the unsalted build on nodes (pages corpus reused from other tests)
+    pages = synthesize_pages(spark, 150).persist()
+    cfg_hot = PipelineConfig(salt_buckets=8, hot_key_threshold=2)
+    cfg_off = PipelineConfig(salt_buckets=0)
+    node_cols = ["entity_id", "canonical", "label", "n_mentions",
+                 "n_surfaces"]
+    kg_a = build_kg(pages, ALL_LABELS, cfg=cfg_hot)
+    kg_b = build_kg(pages, ALL_LABELS, cfg=cfg_off)
+    assert sorted(map(tuple, kg_a.nodes.select(*node_cols).collect())) == \
+        sorted(map(tuple, kg_b.nodes.select(*node_cols).collect()))
+    pages.unpersist()
 
 
 def test_connected_components_warns_when_unconverged():
