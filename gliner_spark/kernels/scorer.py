@@ -186,10 +186,19 @@ class OnnxScorer:
     def _encode_word(self):
         tok = OnnxScorer._tokenizers.get(self.tokenizer_path)
         if tok is None:
-            from tokenizers import Tokenizer  # guarded: not in sandbox
+            try:
+                from tokenizers import Tokenizer  # rust wheel when present
 
-            tok = Tokenizer.from_file(self.tokenizer_path)
+                tok = Tokenizer.from_file(self.tokenizer_path)
+            except ImportError:
+                # pure-Python tokenizer.json loader (WordPiece/Unigram) —
+                # the real O5 path needs no wheels (kernels/subword.py)
+                from .subword import encoder_from_file
+
+                tok = encoder_from_file(self.tokenizer_path)
             OnnxScorer._tokenizers[self.tokenizer_path] = tok
+        if callable(tok):  # pure-Python loader returns the callable itself
+            return tok
         # per-word encode, no special tokens (processor.cpp:76)
         return lambda w: tok.encode(w, add_special_tokens=False).ids
 

@@ -1,0 +1,113 @@
+"""Pure-Python tokenizer.json loader (O5 real path): WordPiece golden
+ids, Unigram Viterbi golden ids, normalizer/pre-tokenizer behavior, and
+the encode_batch + OnnxScorer wiring contract.
+
+The fixtures are real HF-format tokenizer.json files; ids below are
+hand-derived from the published algorithms (greedy longest-prefix for
+WordPiece; max-sum-of-log-probs Viterbi for Unigram, Kudo 2018 §3) —
+the same outputs the reference's tokenizers-cpp FFI produces for these
+configs (/root/reference/src/processor.cpp:64-81)."""
+
+import os
+
+import pytest
+
+from gliner_spark.kernels.subword import (
+    SubwordTokenizer,
+    UnsupportedTokenizerError,
+    encoder_from_file,
+)
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+WP = os.path.join(FIX, "wordpiece_tokenizer.json")
+UNI = os.path.join(FIX, "unigram_tokenizer.json")
+
+
+@pytest.fixture(scope="module")
+def wp():
+    return encoder_from_file(WP)
+
+
+@pytest.fixture(scope="module")
+def uni():
+    return encoder_from_file(UNI)
+
+
+def test_wordpiece_golden_ids(wp):
+    # the canonical WordPiece example: un + ##aff + ##able
+    assert wp("unaffable") == [4, 5, 6]
+    assert wp("affable") == [8, 6]
+    # BertNormalizer lowercase
+    assert wp("Kyiv") == [9]
+    assert wp("KYIV") == [9]
+    # strip_accents defaults to the lowercase flag when null (HF rule)
+    assert wp("résumé") == [20]
+    # greedy longest-prefix: "world" matches whole before "wor"+"##ld",
+    # including as the first piece of a longer word
+    assert wp("world") == [11]
+    assert wp("worlded") == [11, 7]  # world + ##ed (NOT wor+##ld+##ed)
+
+
+def test_wordpiece_unk_and_punct(wp):
+    # unmatched remainder -> whole word is [UNK] (BERT rule, not partial)
+    assert wp("xyz") == [1]
+    assert wp("unxyz") == [1]
+    # BertPreTokenizer isolates punctuation before the model
+    assert wp("hello!") == [10, 13]
+    assert wp("ukraine.") == [17, 19]
+
+
+def test_unigram_viterbi_golden_ids(uni):
+    # Metaspace prepends the word-boundary marker before Viterbi:
+    # [▁hello] = -3.0 beats [▁h,ello] = -6.0 and [▁,hell,o] = -7.0
+    assert uni("hello") == [2]
+    # [▁world] = -4.5 beats [▁wor,ld] = -5.0
+    assert uni("world") == [10]
+    # no single piece covers "kyivo": best lattice = [▁kyiv, o]
+    assert uni("kyivo") == [7, 4]
+    # per-char unk fallback keeps the lattice connected: ▁ + 3×<unk>
+    assert uni("qqq") == [1, 0, 0, 0]
+    assert uni("") == []
+
+
+def test_bpe_raises_loudly():
+    with pytest.raises(UnsupportedTokenizerError):
+        SubwordTokenizer({"model": {"type": "BPE", "vocab": {},
+                                    "merges": []}})
+
+
+def test_encode_batch_over_pure_tokenizer(wp):
+    """The loader plugs into the O4-O6 composition unchanged: 6-tensor
+    layout with BOS/EOS and words_mask on first subwords of text words."""
+    import numpy as np
+
+    from gliner_spark.kernels.encode import encode_batch
+
+    toks = [[(0, 9, "unaffable"), (10, 15, "world")]]
+    enc = encode_batch(toks, ["city"], wp, max_width=12)
+    row = enc.input_ids[0]
+    # prompt: "<<ENT>>" splits under BertPreTokenizer into <,<,ent,>,>
+    # (5 UNKs), "city" -> UNK, "<<SEP>>" -> 5 UNKs = 11 prompt ids;
+    # layout: BOS, 11×UNK, un, ##aff, ##able, world, EOS
+    assert row[:17].tolist() == [1] + [1] * 11 + [4, 5, 6, 11, 2]
+    assert enc.attention_mask[0, :17].tolist() == [1] * 17
+    wm = enc.words_mask[0]
+    assert wm[12] == 1 and wm[15] == 2  # first subword of each text word
+    assert wm[13] == 0 and wm[14] == 0  # continuation subwords stay 0
+    assert enc.text_lengths.tolist() == [[2]]
+    assert enc.num_words == 2
+    assert isinstance(enc.span_idx, np.ndarray)
+
+
+def test_onnx_scorer_falls_back_to_pure_loader():
+    """Without the `tokenizers` wheel, OnnxScorer._encode_word must load
+    the tokenizer.json through kernels/subword.py (the sandbox has no
+    wheel, so this exercises the real fallback branch)."""
+    from gliner_spark.kernels.scorer import OnnxScorer
+
+    scorer = OnnxScorer("unused-model", WP)
+    try:
+        enc = scorer._encode_word()
+        assert enc("unaffable") == [4, 5, 6]
+    finally:
+        OnnxScorer._tokenizers.pop(WP, None)
