@@ -12,10 +12,13 @@ Two ways to obtain the north-rule input shape
    skewed domains (30% of rows across 3 domains) to exercise salting, and
    non-en rows to exercise partition pruning. Used by pytest + bench.
 
-HTML→text: at web scale this is a real extractor; the north rule requires
-byte-identical text per url, so the synthesis wraps ``text`` in a fixed
-template and ``extract_text_from_html`` inverts it exactly, with a
-checksum verification operator (``verify_extraction``).
+HTML→text: two extractors. The synthesis wraps ``text`` in a fixed
+template and ``extract_text_from_html`` inverts it exactly in pure
+Catalyst (the fast path; ``verify_extraction`` checks the byte-identity
+invariant). REAL markup goes through ``sources/html_text.py`` — a
+stdlib html.parser extractor (tags/entities/script-style/whitespace)
+behind an Arrow-batched UDF, plus ``pages_from_raw_html`` to load raw
+crawl tables into the north-rule pages shape.
 """
 
 from __future__ import annotations
