@@ -252,10 +252,13 @@ def q_mm_meta(spark, sf_dir):
 
 
 def q_mm_features(spark, sf_dir):
-    # rows-only: fake-decode features (media libs absent; SURVEY.md §7)
-    return extract_features(attach_media(_documents(spark, sf_dir))).select(
-        "doc_id", "kind", F.size("feature").alias("dim")
-    )
+    # EXACT oracle: image payloads are real binary PPMs and
+    # extract_features runs a real pure-numpy PPM decoder (header parse
+    # + pixel-plane split) emitting integer moments; the oracle
+    # recomputes the moments from the pixel construction directly, so a
+    # decoder that mis-parses the header cannot match. audio/video rows
+    # are raw byte moments.
+    return extract_features(attach_media(_documents(spark, sf_dir)))
 
 
 def q_mm_frames(spark, sf_dir):
@@ -546,6 +549,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": oracle.fingerprints_sql(),
         "length_quantiles": oracle.length_quantiles_sql(),
         "mm_meta": oracle.mm_meta_sql(),
+        "mm_features": oracle.mm_features_sql(),
         "mm_frames": oracle.mm_frames_sql(),
         "sessionize": oracle.sessionize_sql(),
         "hourly_rollup": oracle.hourly_rollup_sql(),

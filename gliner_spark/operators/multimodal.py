@@ -2,18 +2,22 @@
 
 A 100 TB training-data pipeline carries image/audio/video as ``binary``
 columns with typed metadata, processed by Arrow-batched pandas stages.
-The sandbox has no media libraries, so the *decode* step is stubbed
-behind ``HAS_MEDIA_LIBS`` (deterministic fake features otherwise) while
-everything Spark-side — schemas, batch iteration, partitioning, UDF
-signatures — is real and tested:
 
-- ``attach_media``: deterministic synthetic media bytes derived from the
-  text column (so metadata has an exact SQL oracle: octet_length/sha256).
+- ``attach_media``: deterministic synthetic media bytes derived from
+  the text column. IMAGE rows carry a REAL image format — binary PPM
+  (P6): "P6\\n{w} {h}\\n255\\n" header + w*h*3 pixel bytes (the text's
+  ASCII bytes cycled) — constructed with pure Catalyst string ops, so
+  every downstream stat has an exact SQL oracle. audio/video stay
+  opaque tagged payloads (no compact real format exists for them that
+  plain SQL could mirror).
 - ``media_metadata``: pure-Catalyst metadata projection (no Python).
-- ``extract_features``: ``mapInPandas`` stage producing fixed-width
-  float features per blob — the exact shape an image-embedding or
-  audio-fingerprint stage has; swap ``_fake_decode`` for a real decoder
-  when libs exist.
+- ``extract_features``: ``mapInPandas`` stage with a REAL pure-numpy
+  PPM decoder for images (header parse incl. comments, pixel plane
+  split) emitting integer moment features (dims, per-channel sums,
+  sum-of-squares — integers, so the DuckDB oracle matches bit-for-bit);
+  audio/video emit raw byte moments. No media wheels required.
+- ``media_embeddings``: byte-hash embedding (fixed-width float vector
+  per blob) — the embedding-shaped contract an image-encoder stage has.
 - ``sample_frames``: frame-sampling plumbing for video-like payloads:
   slices the blob into fixed-size "frames", keeps every n-th — shows the
   explode/row-count-amplification pattern without a codec.
@@ -31,32 +35,35 @@ from pyspark.sql import types as T
 
 from .util import ensure_parallelism
 
-try:  # real decoders would live behind this gate
-    import PIL  # noqa: F401
-
-    HAS_MEDIA_LIBS = True
-except ImportError:
-    HAS_MEDIA_LIBS = False
-
 MEDIA_KINDS = ["image", "audio", "video"]
+
+PPM_W = 8
+PPM_H = 8
+PPM_HEADER = f"P6\n{PPM_W} {PPM_H}\n255\n"
+PPM_PIXEL_BYTES = PPM_W * PPM_H * 3
 
 
 def attach_media(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
-    """(doc_id, kind, media, meta…): synthesize a deterministic binary
-    payload per doc (UTF-8 bytes of the text, repeated by kind index) —
-    stands in for decoded WARC payloads; derivation is SQL-expressible so
-    downstream metadata is oracle-checkable."""
+    """(doc_id, kind, media): synthesize a deterministic binary payload
+    per doc — a real 8×8 P6 PPM for image rows (pixels = the text's
+    ASCII bytes cycled to 192), tagged text bytes for audio/video.
+    Pure Catalyst, and SQL-expressible so downstream metadata/features
+    are oracle-checkable."""
     kind = F.element_at(
         F.array(*[F.lit(k) for k in MEDIA_KINDS]),
         (F.pmod(F.col(id_col).cast("long"), F.lit(3)) + 1).cast("int"),
     )
+    base = F.coalesce(F.nullif(F.col(text_col), F.lit("")), F.lit(" "))
+    reps = F.ceil(F.lit(float(PPM_PIXEL_BYTES)) / F.length(base)).cast("int")
+    pixels = F.substring(F.repeat(base, reps), 1, PPM_PIXEL_BYTES)
+    payload = F.when(
+        kind == "image", F.concat(F.lit(PPM_HEADER), pixels)
+    ).otherwise(F.concat(F.col(text_col), F.lit("|"), kind))
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         kind.alias("kind"),
-        F.encode(
-            F.concat(F.col(text_col), F.lit("|"), kind), "utf-8"
-        ).alias("media"),
+        F.encode(payload, "utf-8").alias("media"),
     )
 
 
@@ -70,11 +77,97 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(blob: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for a media decoder: hashes byte windows
-    into a fixed-width float vector. Replace with a real decode when
-    HAS_MEDIA_LIBS; the Spark-side contract (bytes → float32[dim]) is
-    identical."""
+def decode_ppm(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-numpy binary-PPM (P6) decoder: header = magic, width,
+    height, maxval as whitespace-separated tokens with ``#`` comments,
+    then ONE whitespace byte, then width*height*3 raw pixel bytes.
+    Returns (width, height, pixels) with pixels shaped (h, w, 3).
+    Raises ValueError on malformed input — a decoder that guesses is
+    worse than one that fails loudly."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    fields: list[int] = []
+    n = len(blob)
+    while len(fields) < 3:
+        while pos < n and blob[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and blob[pos : pos + 1] == b"#":
+            while pos < n and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not blob[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(blob[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    need = w * h * 3
+    px = np.frombuffer(blob, dtype=np.uint8, count=need, offset=pos)
+    if px.size != need:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, px.reshape(h, w, 3)
+
+
+MOMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("val_n", T.LongType()),
+        T.StructField("val_sum", T.LongType()),
+        T.StructField("val_sumsq", T.LongType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL feature extraction: images go through the
+    PPM decoder (dims + per-channel sums over the decoded pixel planes
+    — the header bytes must be correctly stripped for these to match
+    the oracle, which is the proof of real decoding); audio/video get
+    raw byte moments. All-integer output ⇒ bit-exact SQL oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(
+                pdf["doc_id"], pdf["kind"], pdf["media"]
+            ):
+                b = bytes(blob) if blob is not None else b""
+                if kind == "image":
+                    w, h, px = decode_ppm(b)
+                    p = px.astype(np.int64)
+                    ch = p.reshape(-1, 3).sum(axis=0)
+                    rows.append(
+                        (int(doc_id), kind, w, h,
+                         int(ch[0]), int(ch[1]), int(ch[2]),
+                         p.size, int(p.sum()), int((p * p).sum()))
+                    )
+                else:
+                    a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                    rows.append(
+                        (int(doc_id), kind, None, None, None, None, None,
+                         a.size, int(a.sum()), int((a * a).sum()))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in MOMENTS_SCHEMA])
+
+    return ensure_parallelism(media).mapInPandas(run, schema=MOMENTS_SCHEMA)
+
+
+def _hash_embed(blob: bytes, dim: int) -> np.ndarray:
+    """Deterministic byte-hash embedding: folds byte windows into a
+    fixed-width float vector — the embedding-shaped contract an
+    image-encoder/audio-fingerprint stage has (swap in a real encoder;
+    the Spark-side contract bytes → float32[dim] is identical)."""
     if not blob:
         return np.zeros(dim, dtype=np.float32)
     arr = np.frombuffer(blob, dtype=np.uint8)
@@ -84,7 +177,7 @@ def _fake_decode(blob: bytes, dim: int) -> np.ndarray:
     return (out / max(1.0, arr.size / dim)).astype(np.float32)
 
 
-FEATURE_SCHEMA = T.StructType(
+EMBED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("kind", T.StringType()),
@@ -93,18 +186,12 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
+def media_embeddings(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Arrow-batched fixed-width embedding per blob (see _hash_embed)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if HAS_MEDIA_LIBS:
-            raise NotImplementedError(
-                "real media decode not wired in this sandbox"
-            )
         for pdf in batches:
-            feats = [
-                _fake_decode(b, dim).tolist() for b in pdf["media"]
-            ]
+            feats = [_hash_embed(b, dim).tolist() for b in pdf["media"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -113,7 +200,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 }
             )
 
-    return ensure_parallelism(media).mapInPandas(run, schema=FEATURE_SCHEMA)
+    return ensure_parallelism(media).mapInPandas(run, schema=EMBED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, frame_bytes: int = 32,

@@ -428,20 +428,106 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM documents GROUP BY lang"""
 
 
-def mm_meta_sql() -> str:
-    """Mirrors operators/multimodal.attach_media + media_metadata."""
-    return """
-WITH m AS (
+def _ppm_pixels_expr() -> str:
+    """DuckDB expression reproducing attach_media's PPM pixel string:
+    the text's ASCII bytes cycled to PPM_PIXEL_BYTES (empty text → ' ')."""
+    from .operators.multimodal import PPM_PIXEL_BYTES
+
+    base = "coalesce(nullif(text, ''), ' ')"
+    return (
+        f"substr(repeat({base}, CAST(ceil({PPM_PIXEL_BYTES}.0 / "
+        f"length({base})) AS BIGINT)), 1, {PPM_PIXEL_BYTES})"
+    )
+
+
+def _media_cte() -> str:
+    """CTE reproducing attach_media's payload strings (image = real P6
+    PPM built from the same constants; audio/video = tagged text)."""
+    from .operators.multimodal import PPM_H, PPM_W
+
+    header = f"'P6' || chr(10) || '{PPM_W} {PPM_H}' || chr(10) || '255' || chr(10)"
+    return f"""
+m AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          (['image', 'audio', 'video'])[(doc_id % 3 + 1)] AS kind,
-         text || '|' || (['image', 'audio', 'video'])[(doc_id % 3 + 1)]
-           AS mtxt
+         text
   FROM documents
-)
+),
+pay AS (
+  SELECT doc_id, kind,
+         CASE WHEN kind = 'image'
+              THEN {header} || {_ppm_pixels_expr()}
+              ELSE text || '|' || kind END AS mtxt
+  FROM m
+)"""
+
+
+def mm_meta_sql() -> str:
+    """Mirrors operators/multimodal.attach_media + media_metadata."""
+    return f"""
+WITH {_media_cte()}
 SELECT doc_id, kind,
        CAST(octet_length(encode(mtxt)) AS BIGINT) AS n_bytes,
        sha256(mtxt) AS sha
-FROM m"""
+FROM pay"""
+
+
+def mm_features_sql() -> str:
+    """Mirrors operators/multimodal.extract_features: integer moments
+    over the DECODED payload — image rows over the PPM pixel plane
+    (header stripped: the oracle recomputes the pixel string directly,
+    so a decoder that mis-parses the header cannot match), audio/video
+    over the raw payload bytes. Corpus text is pure ASCII (FIXTURES.md
+    §5) so ``ord`` per char ≡ byte value."""
+    from .operators.multimodal import PPM_H, PPM_PIXEL_BYTES, PPM_W
+
+    n_ch = PPM_W * PPM_H
+    return f"""
+WITH m AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         (['image', 'audio', 'video'])[(doc_id % 3 + 1)] AS kind,
+         text
+  FROM documents
+),
+ic AS (
+  SELECT doc_id, kind,
+         list_transform(generate_series(1, {PPM_PIXEL_BYTES}),
+                        i -> ord(substr({_ppm_pixels_expr()}, i, 1))) AS codes
+  FROM m WHERE kind = 'image'
+),
+irow AS (
+  SELECT doc_id, kind,
+         CAST({PPM_W} AS BIGINT) AS width, CAST({PPM_H} AS BIGINT) AS height,
+         CAST(list_sum(list_transform(generate_series(0, {n_ch - 1}),
+              i -> codes[3 * i + 1])) AS BIGINT) AS r_sum,
+         CAST(list_sum(list_transform(generate_series(0, {n_ch - 1}),
+              i -> codes[3 * i + 2])) AS BIGINT) AS g_sum,
+         CAST(list_sum(list_transform(generate_series(0, {n_ch - 1}),
+              i -> codes[3 * i + 3])) AS BIGINT) AS b_sum,
+         CAST({PPM_PIXEL_BYTES} AS BIGINT) AS val_n,
+         CAST(list_sum(codes) AS BIGINT) AS val_sum,
+         CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT)
+           AS val_sumsq
+  FROM ic
+),
+ac AS (
+  SELECT doc_id, kind, length(text || '|' || kind) AS n,
+         list_transform(generate_series(1, length(text || '|' || kind)),
+                        i -> ord(substr(text || '|' || kind, i, 1))) AS codes
+  FROM m WHERE kind <> 'image'
+),
+arow AS (
+  SELECT doc_id, kind,
+         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+         CAST(NULL AS BIGINT) AS r_sum, CAST(NULL AS BIGINT) AS g_sum,
+         CAST(NULL AS BIGINT) AS b_sum,
+         CAST(n AS BIGINT) AS val_n,
+         CAST(list_sum(codes) AS BIGINT) AS val_sum,
+         CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT)
+           AS val_sumsq
+  FROM ac
+)
+SELECT * FROM irow UNION ALL SELECT * FROM arow"""
 
 
 def mm_frames_sql(frame_bytes: int = 32, every_nth: int = 4) -> str:

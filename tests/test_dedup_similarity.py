@@ -203,16 +203,57 @@ def test_embedding_dups_lsh_exact_recall_on_gate_corpus(spark):
 
 
 def test_multimodal_plumbing(docs):
+    from gliner_spark.operators.multimodal import media_embeddings
+
     media = attach_media(docs)
     meta = media_metadata(media)
     row = meta.orderBy("doc_id").first()
     assert row.n_bytes > 0 and len(row.sha) == 64
-    feats = extract_features(media, dim=16)
-    f0 = feats.orderBy("doc_id").first()
+    emb = media_embeddings(media, dim=16)
+    f0 = emb.orderBy("doc_id").first()
     assert len(f0.feature) == 16
-    # determinism: same input → same features
-    f1 = extract_features(media, dim=16).orderBy("doc_id").first()
+    # determinism: same input → same embedding
+    f1 = media_embeddings(media, dim=16).orderBy("doc_id").first()
     assert f0.feature == f1.feature
     frames = sample_frames(media, frame_bytes=32, every_nth=4)
     fr = frames.groupBy("doc_id").count().first()
     assert fr["count"] > 0
+
+
+def test_ppm_decode_real_roundtrip(docs):
+    """attach_media image payloads are REAL P6 PPMs: decode_ppm must
+    parse the header and recover pixel moments matching a direct
+    recomputation from the source text bytes; malformed inputs raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from gliner_spark.operators.multimodal import (
+        PPM_PIXEL_BYTES,
+        decode_ppm,
+        extract_features,
+    )
+
+    media = attach_media(docs)
+    img = media.where(F.col("kind") == "image").orderBy("doc_id").first()
+    w, h, px = decode_ppm(bytes(img.media))
+    assert (w, h, px.shape) == (8, 8, (8, 8, 3))
+    src = docs.where(F.col("doc_id") == img.doc_id).first().text or " "
+    cycled = (src.encode() * (PPM_PIXEL_BYTES // len(src.encode()) + 1))[
+        :PPM_PIXEL_BYTES
+    ]
+    assert px.tobytes() == cycled
+
+    feats = extract_features(media).where(F.col("kind") == "image")
+    f = feats.where(F.col("doc_id") == img.doc_id).first()
+    arr = np.frombuffer(cycled, dtype=np.uint8).astype(np.int64)
+    assert (f.width, f.height) == (8, 8)
+    assert f.val_sum == arr.sum() and f.val_sumsq == (arr * arr).sum()
+    assert f.r_sum == arr.reshape(-1, 3)[:, 0].sum()
+
+    # header comments are legal PPM; truncation/garbage must raise
+    commented = b"P6\n# a comment\n2 1\n255\n" + bytes(6)
+    assert decode_ppm(commented)[0:2] == (2, 1)
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n8 8\n255\n" + bytes(192))
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n8 8\n255\n" + bytes(10))
