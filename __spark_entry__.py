@@ -374,6 +374,21 @@ def q_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real HTML→text extraction (stdlib html.parser behind an Arrow-
+    batched UDF, sources/html_text.py) over the pages projection. On
+    the template corpus the generic parser must reproduce the source
+    text byte-for-byte (the north rule's per-url invariant), so the
+    oracle is simply the documents table — any parser drift (entity
+    handling, whitespace policy, tag stripping) breaks the hash."""
+    from gliner_spark.sources.html_text import html_text_udf
+
+    pages = pages_from_documents(spark, sf_dir)
+    return pages.select(
+        "url", html_text_udf(F.col("html")).alias("text")
+    )
+
+
 def q_sample(spark, sf_dir):
     return sample_by_hash(
         _documents(spark, sf_dir), {"en": 0.5, "es": 0.25}
@@ -518,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_mentions_token": q_ner_mentions_token,
         "ner_nested_multilabel": q_ner_nested_multilabel,
         "stage_metrics": q_stage_metrics,
+        "html_extract": q_html_extract,
         "sample_strata": q_sample,
         "pack_shards": q_pack_shards,
         "curate": q_curate,
@@ -561,6 +577,11 @@ def oracle_sql() -> dict[str, str]:
         "ner_mentions_token": oracle.token_mentions_sql(),
         "ner_nested_multilabel": oracle.ner_nested_sql(),
         "stage_metrics": oracle.stage_metrics_sql(),
+        "html_extract": """
+SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)
+         AS url,
+       text
+FROM documents""",
         "sample_strata": oracle.sample_sql(),
         "pack_shards": oracle.pack_shards_sql(part_col="lang"),
         "skew_join": """

@@ -83,6 +83,50 @@ def test_chunking_off_by_default():
     assert cfg.chunk_words == 0  # reference no-truncation parity
 
 
+def test_chunking_seam_property_every_offset():
+    """Adversarial seam sweep: a 3-word entity (with a nested 2-word
+    entity inside it — greedy must also resolve identically) slid to
+    EVERY word position of the document, so it straddles chunk seams at
+    every offset mod chunk size and mod step. Contract: with
+    chunk_overlap ≥ entity words, chunked output ≡ unchunked output at
+    every offset (some chunk contains the entity fully; seam dedup
+    keeps max prob per (start,end,label); greedy runs once globally)."""
+    cfg = GlinerConfig(chunk_words=8, chunk_overlap=4)
+    scorer = SurrogateScorer(12)
+    labels = ["city"]
+    n_words = 40
+    phrase = ["New", "York", "City"]  # nests the "New York" entry
+    for pos in range(0, n_words - len(phrase) + 1):
+        words = ["zz"] * n_words
+        words[pos : pos + len(phrase)] = phrase
+        text = " ".join(words)
+        plain = ner_documents([text], labels, scorer)[0]
+        chunked = ner_documents([text], labels, scorer, cfg)[0]
+        assert chunked == plain, f"seam mismatch at word offset {pos}"
+        assert len(plain) == 1 and plain[0][2] == "New York City"
+
+
+def test_chunking_overlap_contract_pinned():
+    """The equality above REQUIRES overlap ≥ entity words: with
+    overlap=1 a 3-word entity straddling a seam is visible to neither
+    chunk and drops — pin that the contract boundary is real so the
+    config requirement (chunk_overlap ≥ max expected entity width)
+    stays documented by a failing-case witness."""
+    cfg = GlinerConfig(chunk_words=8, chunk_overlap=1)
+    scorer = SurrogateScorer(12)
+    lost = 0
+    for pos in range(0, 38):
+        words = ["zz"] * 40
+        words[pos : pos + 3] = ["New", "York", "City"]
+        text = " ".join(words)
+        plain = ner_documents([text], ["city"], scorer)[0]
+        chunked = ner_documents([text], ["city"], scorer, cfg)[0]
+        assert len(plain) == 1
+        if chunked != plain:
+            lost += 1
+    assert lost > 0
+
+
 # --- skew salting ---
 def test_salted_join_equals_plain_join(spark):
     # 1 hot key (80% of rows) + cold tail
