@@ -35,6 +35,25 @@ from ..operators.relations import extract_relations
 from .kg import KgResult
 
 
+def _batch_fingerprint(new_pages: DataFrame, id_col: str) -> str:
+    """Deterministic, order-independent id of a batch's content:
+    bit-xor of the id hashes + row count. One cheap projection-only
+    pass (trivial next to scoring); a replay of the same batch maps to
+    the same fingerprint, different batches to different ones (2^-64
+    collision odds)."""
+    row = new_pages.select(
+        F.expr(f"bit_xor(xxhash64({id_col}))").alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return f"{(row.x or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{row.n}"
+
+
+def _prefix_keys(df: DataFrame, fp: str) -> DataFrame:
+    return df.withColumn(
+        "part_key", F.concat(F.lit(f"{fp}-"), F.col("part_key"))
+    )
+
+
 def merge_kg_batch(
     new_pages: DataFrame,
     labels: Sequence[str],
@@ -43,11 +62,23 @@ def merge_kg_batch(
     id_col: str = "url",
     text_col: str = "text",
     link_fn=None,
+    batch_id: str | int | None = None,
 ) -> KgResult:
     """Score ONLY ``new_pages``, append their mentions/triples under
     ``checkpoint_root`` (manifest-idempotent: re-runs skip DONE
     partitions), then rebuild nodes/edges from the merged mention
     corpus. Returns the merged KG tables.
+
+    Mention partitions are BATCH-SCOPED: part_key =
+    ``{batch}-{hash bucket}``. With a shared bucket space, a later
+    batch whose doc ids hash into buckets an earlier batch already
+    marked DONE would be silently left-anti'd away — batches routinely
+    share hash buckets, so the manifest key must carry batch identity.
+    ``batch_id`` (e.g. Structured Streaming's foreachBatch epoch id,
+    stable across replays) is used when given; otherwise a
+    content-derived fingerprint of the batch's ids stands in — both
+    make a replay of the same batch a no-op while distinct batches
+    never collide.
 
     ``link_fn`` picks the linking path; the default is the SAME
     lsh_links configuration plans/kg.build_kg uses, so incremental
@@ -55,6 +86,11 @@ def merge_kg_batch(
     pass ``exact_jaccard_links`` for the oracle-exact path."""
     spark = new_pages.sparkSession
 
+    fp = (
+        str(batch_id)
+        if batch_id is not None
+        else _batch_fingerprint(new_pages, id_col)
+    )
     new_mentions = extract_mentions(
         new_pages, labels, id_col=id_col, text_col=text_col,
         config=cfg.gliner,
@@ -65,12 +101,16 @@ def merge_kg_batch(
     # from the INPUT ids, not the mention output): partitions whose docs
     # yield zero mentions are invisible in new_mentions and would be
     # re-scored on every subsequent merge unless recorded DONE/0 here.
-    batch_keys = with_part_key(
-        new_pages.select(F.col(id_col).alias("doc_id")), "doc_id"
+    batch_keys = _prefix_keys(
+        with_part_key(
+            new_pages.select(F.col(id_col).alias("doc_id")), "doc_id"
+        ),
+        fp,
     ).select("part_key")
     checkpoint_write(
-        with_part_key(new_mentions, "doc_id"), checkpoint_root, "mentions",
-        lineage={"labels": list(labels)},
+        _prefix_keys(with_part_key(new_mentions, "doc_id"), fp),
+        checkpoint_root, "mentions",
+        lineage={"labels": list(labels), "batch": fp},
         expected_part_keys=batch_keys,
     )
     mentions = spark.read.parquet(f"{checkpoint_root}/mentions")

@@ -79,8 +79,12 @@ def test_incremental_merge_equals_from_scratch(spark, tmp_path):
 
     root = str(tmp_path / "ikg")
     pages = synthesize_pages(spark, 200).persist()
-    batch_a = pages.where(F.xxhash64("url") % 2 == 0)
-    batch_b = pages.where(F.xxhash64("url") % 2 != 0)
+    # seed-1 hash split: DECORRELATED from with_part_key's
+    # xxhash64(url) % 64 buckets, so the two batches share hash buckets
+    # — the case that exposed the r2 bug where a later batch's rows in
+    # already-DONE buckets were silently dropped (now batch-scoped keys)
+    batch_a = pages.where(F.xxhash64("url", F.lit(1)) % 2 == 0)
+    batch_b = pages.where(F.xxhash64("url", F.lit(1)) % 2 != 0)
 
     merge_kg_batch(batch_a, ALL_LABELS, root)
     n_manifest = stage_metrics(spark, root).count()
@@ -126,8 +130,11 @@ def test_incremental_merge_records_zero_mention_partitions(spark, tmp_path):
         wrap_html(F.col("text")).alias("html"), "text", F.lit("en").alias("lang"),
     )
     merge_kg_batch(pages, ALL_LABELS, root)
+    from gliner_spark.plans.incremental import _batch_fingerprint
+
+    fp = _batch_fingerprint(pages, "url")
     expected = {
-        r.part_key
+        f"{fp}-{r.part_key}"
         for r in with_part_key(
             pages.select(F.col("url").alias("doc_id")), "doc_id"
         ).select("part_key").distinct().collect()

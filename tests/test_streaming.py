@@ -103,6 +103,54 @@ def test_stream_windowed_counts(spark, tmp_path):
     assert total_stream == total_batch
 
 
+def test_stream_kg_updates_matches_batch_build(spark, tmp_path):
+    """Continuous KG maintenance: pages arriving across micro-batches
+    fold into node/edge tables IDENTICAL to a from-scratch batch build
+    over all pages, and a stream restart over the same source re-folds
+    nothing (source checkpoint) while a replayed fold is manifest-
+    idempotent (merge_kg_batch)."""
+    from gliner_spark.plans.kg import build_kg
+    from gliner_spark.streaming.kg_stream import stream_kg_updates
+    from gliner_spark.streaming.ner_stream import read_page_stream
+
+    src = str(tmp_path / "pages_kg")
+    root = str(tmp_path / "kg_root")
+    out = str(tmp_path / "kg_out")
+    pages = synthesize_pages(spark, 120).persist()
+    pages.coalesce(2).write.parquet(src)
+
+    q = stream_kg_updates(
+        read_page_stream(spark, src, max_files_per_trigger=1),
+        ALL_LABELS, root, out,
+    ).start()
+    q.awaitTermination()
+
+    full = build_kg(spark.read.parquet(src), ALL_LABELS)
+    node_cols = ["entity_id", "canonical", "label", "n_mentions",
+                 "n_surfaces"]
+    edge_cols = ["src_entity", "dst_entity", "pred", "support", "weight"]
+
+    def rows(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    got_nodes = rows(spark.read.parquet(f"{out}/nodes"), node_cols)
+    assert got_nodes == rows(full.nodes, node_cols) and got_nodes
+    assert rows(spark.read.parquet(f"{out}/edges"), edge_cols) == rows(
+        full.edges, edge_cols
+    )
+
+    # restart over the same source: no new files -> no re-fold, and the
+    # published tables are unchanged
+    n_mentions = spark.read.parquet(f"{root}/mentions").count()
+    q2 = stream_kg_updates(
+        read_page_stream(spark, src), ALL_LABELS, root, out
+    ).start()
+    q2.awaitTermination()
+    assert spark.read.parquet(f"{root}/mentions").count() == n_mentions
+    assert rows(spark.read.parquet(f"{out}/nodes"), node_cols) == got_nodes
+    pages.unpersist()
+
+
 def test_stateful_streaming_dedup(spark, tmp_path):
     """applyInPandasWithState: first-seen dedup must hold ACROSS
     micro-batches (state store), not just within one."""
