@@ -61,6 +61,7 @@ from gliner_spark.operators.similarity import (
     hyperplane_lsh_topk,
 )
 from gliner_spark.operators.textstats import (
+    bpe_token_stats,
     detect_language,
     doc_fingerprints,
     length_quantiles,
@@ -227,6 +228,13 @@ def q_ann_topk_ivf(spark, sf_dir):
 
 def q_token_stats(spark, sf_dir):
     return token_stats(_documents(spark, sf_dir))
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    # BPE-ish regex token counting (LLM token-budget proxy): JVM-side
+    # regexp_extract_all; the pattern lives in the RE2 ∩ Java-regex
+    # subset so Spark and DuckDB tokenize identically
+    return bpe_token_stats(_documents(spark, sf_dir))
 
 
 def q_quality(spark, sf_dir):
@@ -510,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -560,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": oracle.ann_topk_sql(),
         "ann_topk_ivf": oracle.ann_topk_sql(),
         "token_stats": oracle.token_stats_sql(),
+        "bpe_token_stats": oracle.bpe_token_stats_sql(),
         "quality": oracle.quality_sql(),
         "lang_id": oracle.lang_id_sql(),
         "fingerprints": oracle.fingerprints_sql(),

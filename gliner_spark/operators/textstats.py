@@ -40,6 +40,40 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# BPE-style pre-tokenization pattern (the GPT-2 shape: a token is an
+# optional leading space + a letter run / digit run / symbol run),
+# restricted to the regex subset BOTH engines execute identically —
+# Java regex (Spark, codegen'd) and RE2 (DuckDB) — i.e. no lookahead.
+# This is the unit real BPE merges operate on; counting these tokens
+# approximates LLM token budgets far better than whitespace splitting
+# (punctuation and digit runs count separately).
+BPE_PATTERN = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def bpe_token_stats(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bpe, n_distinct_bpe, avg_bpe_len): BPE-ish regex
+    token counts — JVM-side ``regexp_extract_all``, zero Python."""
+    toks = F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_PATTERN), F.lit(0)
+    )
+    n = F.size(toks)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n.cast("long").alias("n_bpe"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe"),
+        F.when(
+            n > 0,
+            F.round(
+                F.aggregate(
+                    toks, F.lit(0), lambda acc, x: acc + F.length(x)
+                ).cast("double") / n,
+                4,
+            ),
+        ).alias("avg_bpe_len"),
+    )
+
+
 def quality_expr(text_col):
     """quality = 0.4·min(n_tokens/50, 1) + 0.3·(1 − |stop_ratio − 0.4|)
     + 0.3·distinct_ratio, rounded to 4 — as a reusable expression so

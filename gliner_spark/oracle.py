@@ -352,6 +352,27 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents"""
 
 
+def bpe_token_stats_sql() -> str:
+    """Mirrors operators/textstats.bpe_token_stats (shared BPE_PATTERN;
+    the pattern stays inside the RE2 ∩ Java-regex subset)."""
+    from .operators.textstats import BPE_PATTERN
+
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract_all(text, '{BPE_PATTERN}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_bpe,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_bpe,
+       CASE WHEN len(toks) > 0 THEN
+         ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / len(toks), 4)
+       END AS avg_bpe_len
+FROM t"""
+
+
 def _sw_list(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 

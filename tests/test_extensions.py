@@ -83,6 +83,24 @@ def test_chunking_off_by_default():
     assert cfg.chunk_words == 0  # reference no-truncation parity
 
 
+def test_bpe_token_pattern_semantics(spark):
+    """BPE-ish counting must split letter/digit/symbol runs with the
+    leading space absorbed into the following token (the GPT-2 shape)
+    — unlike whitespace counting, punctuation and numbers count."""
+    from gliner_spark.operators.textstats import bpe_token_stats
+
+    df = spark.createDataFrame(
+        [(1, "don't count 123 items!!"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bpe_token_stats(df).collect()}
+    # don | ' | t | ␣count | ␣123 | ␣items | !!
+    assert rows[1].n_bpe == 7
+    assert rows[1].n_distinct_bpe == 7
+    assert rows[1].avg_bpe_len == round(23 / 7, 4)
+    assert rows[2].n_bpe == 0 and rows[2].avg_bpe_len is None
+
+
 def test_chunking_seam_property_every_offset():
     """Adversarial seam sweep: a 3-word entity (with a nested 2-word
     entity inside it — greedy must also resolve identically) slid to

@@ -99,6 +99,47 @@ def test_encode_batch_over_pure_tokenizer(wp):
     assert isinstance(enc.span_idx, np.ndarray)
 
 
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+with open(WP, encoding="utf-8") as _f:
+    _WP_VOCAB = {v: k for k, v in json.load(_f)["model"]["vocab"].items()}
+with open(UNI, encoding="utf-8") as _f:
+    _UNI_VOCAB = [t for t, _ in json.load(_f)["model"]["vocab"]]
+_WP_ENC = encoder_from_file(WP)
+_UNI_ENC = encoder_from_file(UNI)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abdefiklnorsuvwy", min_size=1, max_size=14))
+def test_wordpiece_pieces_reconstruct_word(word):
+    """Soundness property: whenever WordPiece does NOT bail to [UNK],
+    concatenating the matched pieces (## stripped) must reproduce the
+    normalized word exactly — greedy matching can never skip or
+    duplicate characters."""
+    ids = _WP_ENC(word)
+    assert ids
+    if 1 not in ids:  # 1 = [UNK]
+        joined = "".join(
+            _WP_VOCAB[i][2:] if _WP_VOCAB[i].startswith("##") else _WP_VOCAB[i]
+            for i in ids
+        )
+        assert joined == word
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="dehiklmorvwy", min_size=1, max_size=14))
+def test_unigram_lattice_covers_every_char(word):
+    """Viterbi soundness: the chosen segmentation consumes the
+    metaspace-prefixed word exactly once — vocab pieces consume their
+    own length, each unk consumes one character."""
+    ids = _UNI_ENC(word)
+    consumed = sum(1 if i == 0 else len(_UNI_VOCAB[i]) for i in ids)
+    assert consumed == len("▁" + word)
+
+
 def test_onnx_scorer_falls_back_to_pure_loader():
     """Without the `tokenizers` wheel, OnnxScorer._encode_word must load
     the tokenizer.json through kernels/subword.py (the sandbox has no
