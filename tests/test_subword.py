@@ -152,3 +152,71 @@ def test_onnx_scorer_falls_back_to_pure_loader():
         assert enc("unaffable") == [4, 5, 6]
     finally:
         OnnxScorer._tokenizers.pop(WP, None)
+
+
+def test_kyiv_golden_through_onnx_scorer_path(tmp_path):
+    """End-to-end through the REAL OnnxScorer path on Spark: the pure
+    tokenizer.json loader encodes the words, encode_batch builds the
+    6-tensor feed, a token-id-keyed mock stands in for the graph, and
+    the reference Kyiv golden (tests/test.cpp:80-114) comes out of
+    extract_mentions with exact byte offsets — narrowing the
+    mock-verified gap to the ONNX forward itself."""
+    from gliner_spark.kernels.scorer import OnnxScorer
+    from gliner_spark.operators.ner import extract_mentions
+    from gliner_spark.session import build_session
+
+    spark = build_session(app_name="gliner-tests", cores=4)
+
+    class _KyivSession:
+        """Stands in for the ONNX graph ONLY: reads the same feeds the
+        real session gets (ids + words_mask + span tensors), emits +5
+        logits for the 'kyiv'/'ukraine' subword ids at width 0.
+        Everything else — pure tokenizer, 6-tensor layout, feed
+        construction, logit reshape, sigmoid decode, byte offsets,
+        greedy — is the production path. (Defined inside the test so
+        cloudpickle ships it by value to the Python workers.)"""
+
+        MAX_WIDTH = 12
+
+        def run(self, outputs, feeds):
+            import numpy as np
+
+            assert outputs == ["logits"]
+            ids = feeds["input_ids"]
+            wm = feeds["words_mask"]
+            bsz = ids.shape[0]
+            num_words = feeds["span_mask"].shape[1] // self.MAX_WIDTH
+            lg = np.full((bsz, num_words, self.MAX_WIDTH, 2), -12.0,
+                         dtype=np.float32)
+            for b in range(bsz):
+                for t in range(ids.shape[1]):
+                    w = int(wm[b, t])
+                    if w > 0:
+                        if ids[b, t] == 9:   # 'kyiv' piece id (fixture)
+                            lg[b, w - 1, 0, 0] = 5.0
+                        if ids[b, t] == 17:  # 'ukraine'
+                            lg[b, w - 1, 0, 1] = 5.0
+            return [lg.reshape(-1)]
+
+    def factory():
+        # registration must happen IN the executor-side Python worker:
+        # OnnxScorer._sessions is per-process state
+        OnnxScorer._sessions["e2e-model@-1"] = _KyivSession()
+        return OnnxScorer("e2e-model", WP, max_width=12)
+
+    docs = spark.createDataFrame(
+        [("d1", "Kyiv is the capital of Ukraine."), ("d2", "hello world")],
+        "doc_id string, text string",
+    )
+    rows = sorted(
+        tuple(r)
+        for r in extract_mentions(
+            docs, ["city", "country"], id_col="doc_id",
+            scorer_factory=factory,
+        ).collect()
+    )
+    sig = round(1.0 / (1.0 + 2.718281828459045 ** -5.0), 4)
+    assert rows == [
+        ("d1", 0, 4, "Kyiv", "city", sig),
+        ("d1", 23, 30, "Ukraine", "country", sig),
+    ]
