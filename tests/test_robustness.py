@@ -88,6 +88,26 @@ def test_dedup_ops_on_nullish(spark, nullish_docs):
     assert simhash_dups(safe).count() >= 0  # must not throw
 
 
+def test_multimodal_and_bpe_on_nullish(spark, nullish_docs):
+    """Null/empty text must not break the PPM construction (base falls
+    back to ' '), the decoder, or the BPE counter."""
+    from gliner_spark.operators.multimodal import attach_media, extract_features
+    from gliner_spark.operators.textstats import bpe_token_stats
+
+    feats = {r.doc_id: r for r in
+             extract_features(attach_media(nullish_docs)).collect()}
+    assert len(feats) == 4
+    img = feats[3]  # doc_id % 3 == 0 → image
+    assert (img.width, img.height) == (8, 8) and img.val_n == 192
+    av_null = feats[1]  # null text → null payload → zero moments
+    assert av_null.val_n == 0 and av_null.val_sum == 0
+
+    bpe = {r.doc_id: r for r in bpe_token_stats(nullish_docs).collect()}
+    assert bpe[3].n_bpe == 3
+    assert bpe[2].n_bpe == 0 and bpe[2].avg_bpe_len is None
+    assert bpe[1].n_bpe == 0 or bpe[1].n_bpe is None
+
+
 def test_textstats_single_word_and_empty(spark):
     docs = spark.createDataFrame(
         [(1, "x"), (2, "the")], "doc_id long, text string"

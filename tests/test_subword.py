@@ -140,6 +140,41 @@ def test_unigram_lattice_covers_every_char(word):
     assert consumed == len("▁" + word)
 
 
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="abc", min_size=1, max_size=8))
+def test_unigram_viterbi_is_optimal_vs_bruteforce(word):
+    """DP optimality: on a dense synthetic vocab (every 1-3 gram of
+    {a,b,c} with deterministic scores), Viterbi's total log-prob must
+    equal the max over ALL exhaustive segmentations."""
+    from itertools import product
+
+    from gliner_spark.kernels.subword import UnigramEncoder
+
+    grams = ["".join(p) for n in (1, 2, 3)
+             for p in product("abc", repeat=n)]
+    vocab = [("<unk>", 0.0)] + [
+        (g, -1.0 - (hash_val := sum(ord(c) for c in g) % 7) * 0.3)
+        for g in grams
+    ]
+    enc = UnigramEncoder(vocab, unk_id=0)
+    scores = {t: s for t, s in vocab}
+
+    ids = enc.encode_piece(word)
+    toks = [vocab[i][0] for i in ids]
+    assert "".join(toks) == word
+    got = sum(scores[t] for t in toks)
+
+    def best(s: str) -> float:
+        if not s:
+            return 0.0
+        return max(
+            scores[s[:k]] + best(s[k:])
+            for k in range(1, min(3, len(s)) + 1)
+        )
+
+    assert abs(got - best(word)) < 1e-9
+
+
 def test_onnx_scorer_falls_back_to_pure_loader():
     """Without the `tokenizers` wheel, OnnxScorer._encode_word must load
     the tokenizer.json through kernels/subword.py (the sandbox has no
