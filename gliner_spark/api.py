@@ -63,6 +63,43 @@ class GlinerModel:
         self._tokenizer_path = tokenizer_path
         self._device_id = device_id
 
+    @classmethod
+    def from_pretrained(cls, model_dir: str, device_id: int = -1):
+        """Load a GLiNER ONNX export directory — the layout the
+        reference consumes after its conversion step
+        (/root/reference/README.md "Model preparation":
+        ``gliner_config.json`` + ``tokenizer.json`` + ``model.onnx``
+        or ``onnx/model.onnx``). Maps the published config keys:
+        ``max_width`` → max_width, ``max_len`` → max_length,
+        ``span_mode == "token_level"`` → token-level decode."""
+        import json
+        import os
+
+        with open(os.path.join(model_dir, "gliner_config.json"),
+                  encoding="utf-8") as f:
+            cfg = json.load(f)
+        for cand in ("model.onnx", os.path.join("onnx", "model.onnx")):
+            p = os.path.join(model_dir, cand)
+            if os.path.exists(p):
+                model_path = p
+                break
+        else:
+            raise FileNotFoundError(
+                f"no model.onnx under {model_dir!r} (looked for "
+                "model.onnx and onnx/model.onnx)"
+            )
+        return cls(
+            model_path,
+            os.path.join(model_dir, "tokenizer.json"),
+            max_width=int(cfg.get("max_width", 12)),
+            max_length=int(cfg.get("max_len", 512)),
+            model_type=(
+                TOKEN_LEVEL if cfg.get("span_mode") == "token_level"
+                else SPAN_LEVEL
+            ),
+            device_id=device_id,
+        )
+
     # --- library mode (tests/test.cpp:41-68 use the stages directly) ---
     def tokenize_text(self, text: str):
         return tokenize_text(text)

@@ -79,3 +79,55 @@ def test_inference_df_matches_local(spark):
         assert sorted(got[f"u{i}"]) == sorted(
             (s[0], s[1], s[2], s[3]) for s in spans
         )
+
+
+def test_from_pretrained_model_dir(tmp_path):
+    """from_pretrained reads the reference's converted-model layout:
+    gliner_config.json keys map onto GlinerConfig, both model.onnx
+    locations resolve, tokenizer.json is the pure-loader fixture, and
+    a missing model file raises loudly."""
+    import json
+    import os
+    import shutil
+
+    fixture_tok = os.path.join(
+        os.path.dirname(__file__), "fixtures", "wordpiece_tokenizer.json"
+    )
+
+    d1 = tmp_path / "m1"
+    (d1 / "onnx").mkdir(parents=True)
+    (d1 / "gliner_config.json").write_text(
+        json.dumps({"max_width": 10, "max_len": 384, "span_mode": "markerV0"})
+    )
+    shutil.copy(fixture_tok, d1 / "tokenizer.json")
+    (d1 / "onnx" / "model.onnx").write_bytes(b"\x08\x01")  # placeholder
+    m = GlinerModel.from_pretrained(str(d1))
+    assert m.config.max_width == 10 and m.config.max_length == 384
+    assert m.config.model_type != TOKEN_LEVEL
+    assert m._model_path.endswith(os.path.join("onnx", "model.onnx"))
+    # without the onnxruntime wheel the scorer falls back to the
+    # surrogate, but the tokenizer path wires to the pure loader
+    from gliner_spark.kernels.scorer import OnnxScorer
+
+    sc = OnnxScorer(m._model_path, m._tokenizer_path)
+    try:
+        assert sc._encode_word()("unaffable") == [4, 5, 6]
+    finally:
+        OnnxScorer._tokenizers.pop(m._tokenizer_path, None)
+
+    d2 = tmp_path / "m2"
+    d2.mkdir()
+    (d2 / "gliner_config.json").write_text(
+        json.dumps({"max_width": 8, "span_mode": "token_level"})
+    )
+    shutil.copy(fixture_tok, d2 / "tokenizer.json")
+    (d2 / "model.onnx").write_bytes(b"\x08\x01")
+    m2 = GlinerModel.from_pretrained(str(d2))
+    assert m2.config.model_type == TOKEN_LEVEL
+    assert m2._model_path.endswith("model.onnx")
+
+    d3 = tmp_path / "m3"
+    d3.mkdir()
+    (d3 / "gliner_config.json").write_text("{}")
+    with pytest.raises(FileNotFoundError):
+        GlinerModel.from_pretrained(str(d3))
