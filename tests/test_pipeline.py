@@ -250,6 +250,40 @@ def test_salted_surface_agg_identical_and_wired(spark):
     pages.unpersist()
 
 
+def test_materialize_kg_partition_layout_and_pruning(spark, tmp_path):
+    """materialize_kg writes nodes partitioned by label / edges by pred
+    with counts intact, and a label-filtered read prunes at the SCAN
+    (PartitionFilters), not with a post-scan filter."""
+    import io
+    from contextlib import redirect_stdout
+
+    from gliner_spark.operators.sinks import materialize_kg
+
+    pages = synthesize_pages(spark, 120)
+    kg = build_kg(pages, ALL_LABELS)
+    targets = materialize_kg(kg, str(tmp_path / "kgout"))
+
+    nodes_back = spark.read.parquet(targets["nodes"])
+    assert nodes_back.count() == kg.nodes.count() > 0
+    assert any(
+        p.startswith("label=")
+        for p in __import__("os").listdir(targets["nodes"])
+        if not p.startswith("_")
+    )
+    one_label = nodes_back.where(F.col("label") == "city")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        one_label.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "label" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("\n", 1)[0]
+
+    edges_back = spark.read.parquet(targets["edges"])
+    assert edges_back.count() == kg.edges.count()
+    assert sorted(edges_back.columns) == sorted(kg.edges.columns)
+
+
 def test_connected_components_warns_when_unconverged():
     import warnings
 
