@@ -87,6 +87,48 @@ def test_template_pages_roundtrip_via_udf(spark):
     assert mismatches.count() == 0
 
 
+def test_raw_html_to_kg_end_to_end(spark):
+    """The Common-Crawl user's path: a raw crawl table with REAL markup
+    (entities, script noise, nested tags) → pages_from_raw_html →
+    build_kg, producing the same nodes as the clean-text corpus — the
+    parser feeds the production pipeline, not just unit asserts."""
+    from gliner_spark.kernels.scorer import GOLDEN_LABELS
+    from gliner_spark.plans.kg import build_kg
+
+    def page(i, body):
+        return (
+            f"https://raw.example/{i}",
+            "2024-05-01 00:00:00",
+            bytearray(
+                (
+                    "<html><head><script>var x=1;</script></head><body>"
+                    + body + "</body></html>"
+                ).encode()
+            ),
+        )
+
+    raw = spark.createDataFrame(
+        [
+            page(1, "<p>Kyiv is the capital of Ukraine.</p>"),
+            page(2, "<div>Elon Musk visited <b>Paris</b> and Kyiv near "
+                    "the Dnipro.</div>"),
+            page(3, "<p>nothing relevant here</p>"),
+        ],
+        "url string, warc_ts string, html binary",
+    )
+    pages = pages_from_raw_html(raw)
+    kg = build_kg(pages, GOLDEN_LABELS)
+    nodes = {(r.canonical, r.label): r.n_mentions
+             for r in kg.nodes.collect()}
+    assert nodes[("kyiv", "city")] == 2
+    assert nodes[("ukraine", "country")] == 1
+    assert ("dnipro", "river") in nodes
+    # the <b> split inside page 2 must not break byte offsets: "Paris"
+    # is a whole-word mention in the extracted text
+    m = {(r.m_text, r.label) for r in kg.mentions.collect()}
+    assert ("Paris", "city") in m and ("Elon Musk", "person") in m
+
+
 def test_pages_from_raw_html_shape(spark):
     raw = spark.createDataFrame(
         [("https://a.example/1", "2024-05-01 00:00:00",
