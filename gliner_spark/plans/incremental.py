@@ -42,7 +42,7 @@ def _batch_fingerprint(new_pages: DataFrame, id_col: str) -> str:
     the same fingerprint, different batches to different ones (2^-64
     collision odds)."""
     row = new_pages.select(
-        F.expr(f"bit_xor(xxhash64({id_col}))").alias("x"),
+        F.expr(f"bit_xor(xxhash64(`{id_col}`))").alias("x"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     return f"{(row.x or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{row.n}"
