@@ -153,9 +153,14 @@ def extract_features(media: DataFrame) -> DataFrame:
                          p.size, int(p.sum()), int((p * p).sum()))
                     )
                 else:
+                    # width/height/channel sums are 0 for non-image
+                    # kinds ("not applicable"; a real image always has
+                    # positive dims and ASCII-pixel sums) — explicit
+                    # zeros keep every column pure int64 and keep NULL
+                    # semantics out of the oracle hash comparison
                     a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
                     rows.append(
-                        (int(doc_id), kind, None, None, None, None, None,
+                        (int(doc_id), kind, 0, 0, 0, 0, 0,
                          a.size, int(a.sum()), int((a * a).sum()))
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in MOMENTS_SCHEMA])

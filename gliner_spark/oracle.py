@@ -539,9 +539,9 @@ ac AS (
 ),
 arow AS (
   SELECT doc_id, kind,
-         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
-         CAST(NULL AS BIGINT) AS r_sum, CAST(NULL AS BIGINT) AS g_sum,
-         CAST(NULL AS BIGINT) AS b_sum,
+         CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height,
+         CAST(0 AS BIGINT) AS r_sum, CAST(0 AS BIGINT) AS g_sum,
+         CAST(0 AS BIGINT) AS b_sum,
          CAST(n AS BIGINT) AS val_n,
          CAST(list_sum(codes) AS BIGINT) AS val_sum,
          CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT)

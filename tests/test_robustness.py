@@ -101,6 +101,7 @@ def test_multimodal_and_bpe_on_nullish(spark, nullish_docs):
     assert (img.width, img.height) == (8, 8) and img.val_n == 192
     av_null = feats[1]  # null text → null payload → zero moments
     assert av_null.val_n == 0 and av_null.val_sum == 0
+    assert av_null.width == 0  # non-image dims are explicit zeros
 
     bpe = {r.doc_id: r for r in bpe_token_stats(nullish_docs).collect()}
     assert bpe[3].n_bpe == 3

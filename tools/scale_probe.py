@@ -44,8 +44,13 @@ def run_worker(cores: int, pages: int) -> float:
     from gliner_spark.sources.pages import synthesize_pages
 
     spark = build_session(app_name=f"scale-probe-{cores}", cores=cores)
+    # FIXED split count at both levels: on a real cluster the input
+    # files/splits are identical at N and 4N executors — sizing splits
+    # to the core count would hand the small cluster artificially
+    # coarse (lower-overhead) tasks and bias efficiency downward
+    n_splits = int(os.environ.get("SCALE_PROBE_SPLITS", "16"))
     docs = synthesize_pages(
-        spark, pages, num_partitions=cores * 2
+        spark, pages, num_partitions=n_splits
     ).select(F.xxhash64("url").alias("doc_id"), "text")
 
     def job():
