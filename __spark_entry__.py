@@ -96,8 +96,15 @@ def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MENTIONS_CACHE[key] = extract_mentions(
             _documents(spark, sf_dir), SOUP_LABELS,
             id_col="doc_id", text_col="text",
-        ).persist()
-    return _MENTIONS_CACHE[key]
+        )
+    df = _MENTIONS_CACHE[key]
+    if not df.is_cached:
+        # (re-)mark for caching: an external clearCache()/unpersist
+        # (bench does this between queries) must not leave the memoized
+        # DF unpersisted — its multi-branch consumers would re-run the
+        # scoring mapInPandas once per branch
+        df.persist()
+    return df
 
 
 def q_ner_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
