@@ -76,6 +76,36 @@ def test_malformed_and_edge_html():
     ) == "kept"
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tag = st.sampled_from(["p", "div", "b", "i", "li", "span", "script",
+                        "style", "br", "h1"])
+_chunk = st.one_of(
+    st.text(alphabet="abc &<>\n\t", max_size=12),
+    _tag.map(lambda t: f"<{t}>"),
+    _tag.map(lambda t: f"</{t}>"),
+    st.sampled_from(["&amp;", "&#233;", "&nbsp;", "<!-- c -->",
+                     "<p class='x'>"]),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_chunk, max_size=25).map("".join))
+def test_html_extractor_total_and_deterministic(doc):
+    """Totality + determinism on adversarial tag soup: never raises,
+    same bytes every time, never leaks script/style payload markers,
+    and output whitespace follows the documented policy (no leading/
+    trailing blanks, no blank lines, single spaces within blocks)."""
+    out1 = html_to_text(doc)
+    out2 = html_to_text(doc.encode("utf-8"))
+    assert out1 == out2
+    if out1:  # no-content documents legitimately extract to ""
+        for line in out1.split("\n"):
+            assert line == " ".join(line.split()) and line != ""
+    assert out1 == html_to_text(doc)
+
+
 def test_template_pages_roundtrip_via_udf(spark):
     """The generic parser must agree with the Catalyst template inverse
     on the synthetic corpus (single-spaced text, no markup chars):

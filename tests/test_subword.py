@@ -70,6 +70,25 @@ def test_unigram_viterbi_golden_ids(uni):
     assert uni("") == []
 
 
+def test_wordpiece_max_chars_and_metaspace_replacement(wp):
+    # BERT rule: words longer than max_input_chars_per_word are [UNK]
+    # wholesale, never partially matched
+    assert wp("a" * 101) == [1]
+    # Metaspace replaces interior spaces too (multi-word "word" input)
+    from gliner_spark.kernels.subword import SubwordTokenizer
+
+    tok = SubwordTokenizer(
+        {
+            "pre_tokenizer": {"type": "Metaspace", "replacement": "▁",
+                              "prepend_scheme": "always"},
+            "model": {"type": "Unigram", "unk_id": 0,
+                      "vocab": [["<unk>", 0.0], ["▁a", -1.0],
+                                ["▁b", -1.0]]},
+        }
+    )
+    assert tok.encode_word("a b") == [1, 2]
+
+
 def test_bpe_raises_loudly():
     with pytest.raises(UnsupportedTokenizerError):
         SubwordTokenizer({"model": {"type": "BPE", "vocab": {},
