@@ -107,7 +107,33 @@ def main() -> int:
         {"ArrowEvalPython": False, "BatchEvalPython": False, "*(": True},
     )
 
-    # 5. TPC-H-style join: small dim broadcast without hints
+    # 5. bpe token counting: pure Catalyst (regexp_extract_all inside
+    # codegen — zero Python stage)
+    from gliner_spark.operators.textstats import bpe_token_stats
+
+    p = executed_plan_of(bpe_token_stats(docs))
+    bad += not check(
+        "bpe_token_stats (JVM-side regex, codegen)",
+        p,
+        {"ArrowEvalPython": False, "BatchEvalPython": False,
+         "MapInPandas": False, "*(": True},
+    )
+
+    # 6. salted surface aggregation: exactly ONE exchange more than the
+    # plain form (partial by (label, surface, salt) + final by
+    # (label, surface); any exchanges below the Python stage — the
+    # local-file parallelism guard — appear in both plans)
+    n_plain = plan_of(entity_surfaces(m)).count("Exchange (")
+    n_salted = plan_of(entity_surfaces(m, salt_buckets=8)).count(
+        "Exchange ("
+    )
+    print("\n=== salted entity_surfaces (two-phase agg) ===")
+    ok6 = n_salted == n_plain + 1
+    print(f"  [{'OK ' if ok6 else 'BAD'}] salted exchanges == plain+1 "
+          f"-> {n_salted} vs {n_plain}")
+    bad += not ok6
+
+    # 7. TPC-H-style join: small dim broadcast without hints
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     cust = spark.read.parquet(f"{SF}/customer.parquet")
     j = orders.join(cust, orders.o_custkey == cust.c_custkey).groupBy(
