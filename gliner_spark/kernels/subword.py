@@ -289,6 +289,16 @@ class SubwordTokenizer:
     def __init__(self, config: dict):
         self.normalize = _build_normalizer(config.get("normalizer"))
         self.pretokenize = _build_pretokenizer(config.get("pre_tokenizer"))
+        # added tokens match on the RAW input before normalization /
+        # pre-tokenization (the HF added-vocabulary rule). GLiNER
+        # checkpoints register <<ENT>>/<<SEP>> here — without this,
+        # the prompt markers would shred through the punctuation
+        # splitter into UNK runs instead of their single ids.
+        self.added = {
+            t["content"]: t["id"]
+            for t in config.get("added_tokens", [])
+            if "content" in t and "id" in t
+        }
         model = config.get("model") or {}
         mtype = model.get("type")
         if mtype == "WordPiece":
@@ -311,6 +321,9 @@ class SubwordTokenizer:
             )
 
     def encode_word(self, word: str) -> List[int]:
+        added = self.added.get(word)
+        if added is not None:
+            return [added]
         word = self.normalize(word)
         if not word:  # HF: empty input encodes to no ids
             return []

@@ -48,6 +48,17 @@ def test_wordpiece_golden_ids(wp):
     assert wp("worlded") == [11, 7]  # world + ##ed (NOT wor+##ld+##ed)
 
 
+def test_added_tokens_match_raw_before_pipeline(wp):
+    """The HF added-vocabulary rule: <<ENT>>/<<SEP>> resolve to their
+    single registered ids on the RAW input — lowercasing or the
+    punctuation splitter must never touch them (GLiNER registers its
+    prompt markers exactly this way)."""
+    assert wp("<<ENT>>") == [30]
+    assert wp("<<SEP>>") == [31]
+    # non-registered angle soup still goes through the normal pipeline
+    assert wp("<<OTHER>>") != [30]
+
+
 def test_wordpiece_unk_and_punct(wp):
     # unmatched remainder -> whole word is [UNK] (BERT rule, not partial)
     assert wp("xyz") == [1]
@@ -105,14 +116,15 @@ def test_encode_batch_over_pure_tokenizer(wp):
     toks = [[(0, 9, "unaffable"), (10, 15, "world")]]
     enc = encode_batch(toks, ["city"], wp, max_width=12)
     row = enc.input_ids[0]
-    # prompt: "<<ENT>>" splits under BertPreTokenizer into <,<,ent,>,>
-    # (5 UNKs), "city" -> UNK, "<<SEP>>" -> 5 UNKs = 11 prompt ids;
-    # layout: BOS, 11×UNK, un, ##aff, ##able, world, EOS
-    assert row[:17].tolist() == [1] + [1] * 11 + [4, 5, 6, 11, 2]
-    assert enc.attention_mask[0, :17].tolist() == [1] * 17
+    # prompt: <<ENT>>/<<SEP>> hit the ADDED-TOKEN vocabulary (single
+    # ids 30/31, the GLiNER prompt-marker rule — matched on raw input
+    # before normalization), "city" -> UNK;
+    # layout: BOS, 30, UNK, 31, un, ##aff, ##able, world, EOS
+    assert row[:9].tolist() == [1, 30, 1, 31, 4, 5, 6, 11, 2]
+    assert enc.attention_mask[0, :9].tolist() == [1] * 9
     wm = enc.words_mask[0]
-    assert wm[12] == 1 and wm[15] == 2  # first subword of each text word
-    assert wm[13] == 0 and wm[14] == 0  # continuation subwords stay 0
+    assert wm[4] == 1 and wm[7] == 2  # first subword of each text word
+    assert wm[5] == 0 and wm[6] == 0  # continuation subwords stay 0
     assert enc.text_lengths.tolist() == [[2]]
     assert enc.num_words == 2
     assert isinstance(enc.span_idx, np.ndarray)
