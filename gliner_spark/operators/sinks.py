@@ -41,8 +41,11 @@ def write_table(
     tables (iceberg/delta table identifiers via DataFrameWriterV2)."""
     if fmt in ("iceberg", "delta"):
         w2 = df.writeTo(target).using(fmt)
-        for c in partition_by:
-            w2 = w2.partitionedBy(df[c])
+        if partition_by:
+            # one call with all columns — repeated partitionedBy calls
+            # REPLACE the previous partitioning rather than appending
+            cols = [df[c] for c in partition_by]
+            w2 = w2.partitionedBy(cols[0], *cols[1:])
         if mode == "overwrite":
             w2.createOrReplace()
         else:
@@ -60,13 +63,18 @@ def write_table(
 
 def materialize_kg(kg, root: str, fmt: str = "parquet") -> dict:
     """Write a KgResult's four tables under ``root`` with the layout
-    above; returns {table: target} for downstream registration."""
-    targets = {
-        "mentions": os.path.join(root, "mentions"),
-        "triples": os.path.join(root, "triples"),
-        "nodes": os.path.join(root, "nodes"),
-        "edges": os.path.join(root, "edges"),
-    }
+    above; returns {table: target} for downstream registration.
+
+    For file formats ``root`` is a directory (targets are paths); for
+    catalog formats (iceberg/delta) it is a namespace — e.g.
+    ``"lake.kg"`` — and targets are table identifiers
+    (``lake.kg.nodes``)."""
+    catalog = fmt in ("iceberg", "delta")
+
+    def tgt(name: str) -> str:
+        return f"{root}.{name}" if catalog else os.path.join(root, name)
+
+    targets = {n: tgt(n) for n in ("mentions", "triples", "nodes", "edges")}
     part_cols = {
         "mentions": ["part_key"] if "part_key" in kg.mentions.columns else [],
         "triples": ["part_key"] if "part_key" in kg.triples.columns else [],
