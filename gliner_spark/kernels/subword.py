@@ -15,25 +15,103 @@ callable shape ``encode_batch`` takes, and ``OnnxScorer`` falls back to
 it when the ``tokenizers`` wheel is absent — making the real-model
 encode path runnable anywhere Python runs.
 
-Scope notes (documented, loud):
-- BPE models raise ``UnsupportedTokenizerError`` (GLiNER's published
-  checkpoints are DeBERTa-v3 [Unigram] or BERT-family [WordPiece]).
-- The SentencePiece "Precompiled" charsmap normalizer cannot be
-  reimplemented faithfully without the charsmap decoder; it is applied
-  as NFKC (its dominant effect) — exotic mappings may differ.
+GLiNER's published checkpoints are DeBERTa-v3 [Unigram] or BERT-family
+[WordPiece]; **BPE** (rank-greedy merge loop, the published GPT-2/RoBERTa
+algorithm) and the **ByteLevel** pre-tokenizer are implemented as well so
+a user bringing a RoBERTa/GPT-backboned GLiNER variant does not hit a
+hard error. The SentencePiece ``Precompiled`` charsmap is decoded from
+its double-array trie (see ``_Charsmap``); inputs with no charsmap entry
+pass through unchanged, exactly as in SentencePiece's NormalizePrefix.
 """
 
 from __future__ import annotations
 
+import base64
 import json
+import struct
 import unicodedata
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 METASPACE = "▁"  # ▁
 
 
 class UnsupportedTokenizerError(ValueError):
     pass
+
+
+# ---------------------------------------------------------------------------
+# SentencePiece Precompiled charsmap (double-array trie)
+# ---------------------------------------------------------------------------
+
+class _Charsmap:
+    """Decoder for SentencePiece's ``precompiled_charsmap`` blob.
+
+    Layout (sentencepiece ``normalizer.cc`` DecodePrecompiledCharsMap):
+    ``uint32le trie_size || darts-clone double array (uint32le units) ||
+    normalized-string pool ('\\0'-terminated strings)``. A lookup is a
+    darts common-prefix search over the input's UTF-8 bytes; each leaf
+    value is a byte offset into the pool. Normalization follows
+    ``Normalizer::NormalizePrefix``: at each position take the LONGEST
+    trie match and emit its pool string, else pass the single UTF-8
+    character through unchanged. (HF's ``spm_precompiled`` applies the
+    same trie per grapheme cluster; real charsmap entries are single
+    code points or combining sequences, where the two walks agree.)
+
+    Darts unit accessors (darts_clone ``darts.h``):
+    ``label = unit & 0x800000ff``, ``has_leaf = (unit >> 8) & 1``,
+    ``offset = (unit >> 10) << ((unit & 0x200) >> 6)``,
+    ``value = unit & 0x7fffffff`` on the leaf unit.
+    """
+
+    def __init__(self, blob: bytes):
+        (trie_size,) = struct.unpack_from("<I", blob, 0)
+        n_units = trie_size // 4
+        self.units = struct.unpack_from(f"<{n_units}I", blob, 4)
+        self.pool = blob[4 + trie_size:]
+
+    def _longest_match(
+        self, data: bytes, start: int
+    ) -> Optional[Tuple[int, int]]:
+        """(match_byte_len, pool_offset) of the longest trie prefix of
+        ``data[start:]``, or None."""
+        units = self.units
+        unit = units[0]
+        node_pos = (unit >> 10) << ((unit & 0x200) >> 6)
+        found: Optional[Tuple[int, int]] = None
+        for i in range(start, len(data)):
+            c = data[i]
+            if c == 0:
+                break
+            node_pos ^= c
+            unit = units[node_pos]
+            if (unit & 0x800000FF) != c:
+                break
+            node_pos ^= (unit >> 10) << ((unit & 0x200) >> 6)
+            if (unit >> 8) & 1:
+                found = (i + 1 - start, units[node_pos] & 0x7FFFFFFF)
+        return found
+
+    def _pool_str(self, offset: int) -> str:
+        end = self.pool.index(b"\0", offset)
+        return self.pool[offset:end].decode("utf-8")
+
+    def normalize(self, s: str) -> str:
+        data = s.encode("utf-8")
+        out: List[str] = []
+        i, n = 0, len(data)
+        while i < n:
+            hit = self._longest_match(data, i)
+            if hit is not None:
+                length, offset = hit
+                out.append(self._pool_str(offset))
+                i += length
+            else:
+                b = data[i]
+                step = 4 if b >= 0xF0 else 3 if b >= 0xE0 else \
+                    2 if b >= 0xC0 else 1
+                out.append(data[i:i + step].decode("utf-8", "replace"))
+                i += step
+        return "".join(out)
 
 
 # ---------------------------------------------------------------------------
@@ -83,7 +161,12 @@ def _build_normalizer(cfg: dict | None) -> Callable[[str], str]:
     if t == "Strip":
         return lambda s: s.strip()
     if t == "Precompiled":
-        # SentencePiece charsmap: approximated by NFKC (see module doc)
+        blob_b64 = cfg.get("precompiled_charsmap")
+        if blob_b64:
+            cm = _Charsmap(base64.b64decode(blob_b64))
+            return cm.normalize
+        # blob absent (hand-written configs): NFKC is the charsmap's
+        # dominant effect and the safest stand-in
         return lambda s: unicodedata.normalize("NFKC", s)
     if t == "Replace":
         pat = cfg.get("pattern", {})
@@ -141,6 +224,68 @@ def _split_punct(word: str) -> List[str]:
     return pieces or [word]
 
 
+def _bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2's reversible byte→printable-unicode table (Radford et al.
+    2019, released encoder.py): printable latin bytes map to themselves,
+    the rest shift into U+0100.."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_BYTE_ENCODER = _bytes_to_unicode()
+_GPT2_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def _gpt2_split(text: str) -> List[str]:
+    """The GPT-2 pre-tokenize regex (contractions | optional-space +
+    letter/number/other runs | whitespace), as a scanner — Python ``re``
+    lacks ``\\p{L}``/``\\p{N}`` so the alternation is hand-rolled with
+    unicodedata categories. Inputs here are single words, so the
+    whitespace branches are edge cases."""
+    pieces: List[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        hit = next(
+            (c for c in _GPT2_CONTRACTIONS if text.startswith(c, i)), None
+        )
+        if hit is not None:
+            pieces.append(hit)
+            i += len(hit)
+            continue
+        start = i
+        if text[i] == " " and i + 1 < n and not text[i + 1].isspace():
+            i += 1
+        cat = unicodedata.category(text[i])[0]
+        if cat == "L":
+            while i < n and unicodedata.category(text[i])[0] == "L":
+                i += 1
+        elif cat == "N":
+            while i < n and unicodedata.category(text[i])[0] == "N":
+                i += 1
+        elif not text[i].isspace():
+            while i < n and not text[i].isspace() and \
+                    unicodedata.category(text[i])[0] not in ("L", "N"):
+                i += 1
+        else:
+            while i < n and text[i].isspace():
+                i += 1
+            # \s+(?!\S): a whitespace run followed by non-space yields
+            # its last space to the next (space-prefixed) token
+            if i < n and i - start > 1:
+                i -= 1
+        pieces.append(text[start:i])
+    return pieces
+
+
 def _build_pretokenizer(cfg: dict | None) -> Callable[[str], List[str]]:
     if cfg is None:
         return lambda w: [w]
@@ -180,6 +325,22 @@ def _build_pretokenizer(cfg: dict | None) -> Callable[[str], List[str]]:
     if t == "Split":
         # common config: split on whitespace pattern
         return lambda w: [p for p in w.split() if p] or [w]
+    if t == "ByteLevel":
+        add_prefix = cfg.get("add_prefix_space", True)
+        use_regex = cfg.get("use_regex", True)
+
+        def byte_level(w: str) -> List[str]:
+            # per-word encode: each word starts a sequence segment, so
+            # add_prefix_space applies (RoBERTa's "Ġword" form)
+            if add_prefix and not w.startswith(" "):
+                w = " " + w
+            pieces = _gpt2_split(w) if use_regex else [w]
+            return [
+                "".join(_BYTE_ENCODER[b] for b in p.encode("utf-8"))
+                for p in pieces
+            ]
+
+        return byte_level
     raise UnsupportedTokenizerError(f"pre_tokenizer type {t!r}")
 
 
@@ -229,15 +390,19 @@ class WordPieceEncoder:
 class UnigramEncoder:
     """SentencePiece Unigram via Viterbi: the segmentation maximizing the
     sum of piece log-probs; characters no vocab piece covers emit
-    ``unk_id`` with a constant penalty (Kudo 2018, §3)."""
+    ``unk_id`` with a constant penalty (Kudo 2018, §3). Consecutive
+    uncovered characters fuse into a SINGLE unk id (``fuse_unk`` — the
+    SentencePiece behavior HF's Unigram defaults to), so OOV runs such
+    as adjacent emoji match the reference's FFI tokenizer."""
 
     UNK_PENALTY = -20.0
 
     def __init__(self, vocab: Sequence[Tuple[str, float]],
-                 unk_id: int | None):
+                 unk_id: int | None, fuse_unk: bool = True):
         self.pieces = {tok: (i, float(score))
                        for i, (tok, score) in enumerate(vocab)}
         self.unk_id = unk_id
+        self.fuse_unk = fuse_unk
         self.max_piece_len = max((len(t) for t, _ in vocab), default=1)
 
     def encode_piece(self, piece: str) -> List[int]:
@@ -271,9 +436,92 @@ class UnigramEncoder:
         pos = n
         while pos > 0:
             start, tid = back[pos]  # type: ignore[misc]
-            ids.append(tid)
+            if not (
+                self.fuse_unk and tid == self.unk_id
+                and ids and ids[-1] == self.unk_id
+            ):
+                ids.append(tid)
             pos = start
         ids.reverse()
+        return ids
+
+
+class BPEEncoder:
+    """Byte-pair encoding via the published rank-greedy merge loop
+    (Sennrich 2016; GPT-2 encoder.py): start from single characters,
+    repeatedly merge the adjacent pair with the LOWEST merge rank until
+    no ranked pair remains, then map symbols through the vocab.
+    ``continuing_subword_prefix`` / ``end_of_word_suffix`` decorate
+    interior/final symbols before merging (and the prefix is stripped
+    from the right side on merge), matching HF's BPE model semantics."""
+
+    def __init__(self, vocab: Dict[str, int],
+                 merges: Sequence[object],
+                 unk_token: str | None = None,
+                 continuing_subword_prefix: str = "",
+                 end_of_word_suffix: str = "",
+                 fuse_unk: bool = False,
+                 byte_fallback: bool = False):
+        self.vocab = vocab
+        self.unk_id = vocab.get(unk_token) if unk_token else None
+        self.csp = continuing_subword_prefix or ""
+        self.eow = end_of_word_suffix or ""
+        self.fuse_unk = fuse_unk
+        self.byte_fallback = byte_fallback
+        self.ranks: Dict[Tuple[str, str], int] = {}
+        for i, m in enumerate(merges):
+            pair = (tuple(m.split(" ", 1)) if isinstance(m, str)
+                    else tuple(m))
+            self.ranks[pair] = i  # type: ignore[index]
+
+    def _merged(self, a: str, b: str) -> str:
+        if self.csp and b.startswith(self.csp):
+            b = b[len(self.csp):]
+        return a + b
+
+    def encode_piece(self, piece: str) -> List[int]:
+        if not piece:
+            return []
+        word = list(piece)
+        if self.csp:
+            word = [word[0]] + [self.csp + c for c in word[1:]]
+        if self.eow:
+            word[-1] = word[-1] + self.eow
+        while len(word) > 1:
+            best_rank, best_pair = None, None
+            for i in range(len(word) - 1):
+                r = self.ranks.get((word[i], word[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (word[i], word[i + 1])
+            if best_pair is None:
+                break
+            merged: List[str] = []
+            j = 0
+            while j < len(word):
+                if (j < len(word) - 1
+                        and (word[j], word[j + 1]) == best_pair):
+                    merged.append(self._merged(word[j], word[j + 1]))
+                    j += 2
+                else:
+                    merged.append(word[j])
+                    j += 1
+            word = merged
+        ids: List[int] = []
+        for tok in word:
+            tid = self.vocab.get(tok)
+            if tid is None and self.byte_fallback:
+                byte_ids = [self.vocab.get(f"<0x{b:02X}>")
+                            for b in tok.encode("utf-8")]
+                if all(t is not None for t in byte_ids):
+                    ids.extend(byte_ids)  # type: ignore[arg-type]
+                    continue
+            if tid is None:
+                tid = self.unk_id
+                if tid is None:  # HF BPE: no unk → token dropped
+                    continue
+                if self.fuse_unk and ids and ids[-1] == tid:
+                    continue
+            ids.append(tid)
         return ids
 
 
@@ -312,12 +560,23 @@ class SubwordTokenizer:
             )
         elif mtype == "Unigram":
             self.model = UnigramEncoder(
-                [(t, s) for t, s in model["vocab"]], model.get("unk_id")
+                [(t, s) for t, s in model["vocab"]], model.get("unk_id"),
+                fuse_unk=model.get("fuse_unk", True),
+            )
+        elif mtype == "BPE":
+            self.model = BPEEncoder(
+                model["vocab"], model.get("merges", []),
+                unk_token=model.get("unk_token"),
+                continuing_subword_prefix=model.get(
+                    "continuing_subword_prefix") or "",
+                end_of_word_suffix=model.get("end_of_word_suffix") or "",
+                fuse_unk=model.get("fuse_unk", False),
+                byte_fallback=model.get("byte_fallback", False),
             )
         else:
             raise UnsupportedTokenizerError(
-                f"model type {mtype!r} (WordPiece and Unigram are "
-                "supported; GLiNER checkpoints ship one of these)"
+                f"model type {mtype!r} (WordPiece, Unigram and BPE are "
+                "supported)"
             )
 
     def encode_word(self, word: str) -> List[int]:

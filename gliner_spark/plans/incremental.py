@@ -35,14 +35,19 @@ from ..operators.relations import extract_relations
 from .kg import KgResult
 
 
-def _batch_fingerprint(new_pages: DataFrame, id_col: str) -> str:
-    """Deterministic, order-independent id of a batch's content:
-    bit-xor of the id hashes + row count. One cheap projection-only
-    pass (trivial next to scoring); a replay of the same batch maps to
-    the same fingerprint, different batches to different ones (2^-64
-    collision odds)."""
+def _batch_fingerprint(
+    new_pages: DataFrame, id_col: str, text_col: str
+) -> str:
+    """Deterministic, order-independent id of a batch's CONTENT:
+    bit-xor of xxhash64(id, text) + row count. One cheap
+    projection-only pass (trivial next to scoring); a replay of the
+    same batch maps to the same fingerprint, different batches to
+    different ones (2^-64 collision odds). Hashing (id, text) — not
+    ids alone — means a recrawl that re-submits the same urls with
+    UPDATED text gets a FRESH fingerprint, so its rescored mentions
+    are not left-anti'd away by the earlier batch's DONE manifest."""
     row = new_pages.select(
-        F.expr(f"bit_xor(xxhash64(`{id_col}`))").alias("x"),
+        F.expr(f"bit_xor(xxhash64(`{id_col}`, `{text_col}`))").alias("x"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     return f"{(row.x or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{row.n}"
@@ -89,7 +94,7 @@ def merge_kg_batch(
     fp = (
         str(batch_id)
         if batch_id is not None
-        else _batch_fingerprint(new_pages, id_col)
+        else _batch_fingerprint(new_pages, id_col, text_col)
     )
     new_mentions = extract_mentions(
         new_pages, labels, id_col=id_col, text_col=text_col,
@@ -101,9 +106,16 @@ def merge_kg_batch(
     # from the INPUT ids, not the mention output): partitions whose docs
     # yield zero mentions are invisible in new_mentions and would be
     # re-scored on every subsequent merge unless recorded DONE/0 here.
+    # The id is cast to STRING before hashing because extract_mentions
+    # emits doc_id as string (ner.py) — xxhash64(long) != xxhash64(string
+    # of the same value), so hashing the raw column would record DONE/0
+    # under phantom keys while real zero-mention buckets stay unrecorded.
     batch_keys = _prefix_keys(
         with_part_key(
-            new_pages.select(F.col(id_col).alias("doc_id")), "doc_id"
+            new_pages.select(
+                F.col(id_col).cast("string").alias("doc_id")
+            ),
+            "doc_id",
         ),
         fp,
     ).select("part_key")

@@ -14,7 +14,6 @@ import pytest
 
 from gliner_spark.kernels.subword import (
     SubwordTokenizer,
-    UnsupportedTokenizerError,
     encoder_from_file,
 )
 
@@ -76,9 +75,22 @@ def test_unigram_viterbi_golden_ids(uni):
     assert uni("world") == [10]
     # no single piece covers "kyivo": best lattice = [▁kyiv, o]
     assert uni("kyivo") == [7, 4]
-    # per-char unk fallback keeps the lattice connected: ▁ + 3×<unk>
-    assert uni("qqq") == [1, 0, 0, 0]
+    # per-char unk fallback keeps the lattice connected, and adjacent
+    # unks FUSE into one id (fuse_unk — SentencePiece/HF behavior): ▁ +
+    # one fused <unk> covering the qqq run
+    assert uni("qqq") == [1, 0]
     assert uni("") == []
+
+
+def test_unigram_fuse_unk_only_merges_adjacent():
+    from gliner_spark.kernels.subword import UnigramEncoder
+
+    vocab = [("<unk>", 0.0), ("a", -1.0)]
+    enc = UnigramEncoder(vocab, unk_id=0)  # fuse_unk defaults on
+    assert enc.encode_piece("zz") == [0]          # adjacent unks fuse
+    assert enc.encode_piece("zaz") == [0, 1, 0]   # separated unks don't
+    unfused = UnigramEncoder(vocab, unk_id=0, fuse_unk=False)
+    assert unfused.encode_piece("zz") == [0, 0]
 
 
 def test_wordpiece_max_chars_and_metaspace_replacement(wp):
@@ -100,10 +112,110 @@ def test_wordpiece_max_chars_and_metaspace_replacement(wp):
     assert tok.encode_word("a b") == [1, 2]
 
 
-def test_bpe_raises_loudly():
-    with pytest.raises(UnsupportedTokenizerError):
-        SubwordTokenizer({"model": {"type": "BPE", "vocab": {},
-                                    "merges": []}})
+BPE = os.path.join(FIX, "bpe_tokenizer.json")
+
+
+@pytest.fixture(scope="module")
+def bpe():
+    return encoder_from_file(BPE)
+
+
+def test_bpe_golden_ids(bpe):
+    """Rank-greedy merge loop (GPT-2/RoBERTa BPE) behind the ByteLevel
+    pre-tokenizer: add_prefix_space turns 'hello' into 'Ġhello', then
+    merges apply lowest-rank-first until none remain."""
+    assert bpe("hello") == [9]          # full merge chain to Ġhello
+    assert bpe("world") == [11, 4, 14, 3, 13]  # only Ġ+w is ranked
+    # all adjacent occurrences of the chosen pair merge left-to-right
+    assert bpe("lll") == [0, 6, 3]      # Ġ + ll + l
+    # GPT-2 regex isolates contractions; each piece encodes separately
+    assert bpe("don't") == [20, 17]     # Ġdon + 't
+    # unmatched symbol -> unk_token id (per symbol, not whole word)
+    assert bpe("x") == [0, 12]          # Ġ + <unk>
+    # added tokens still match on the raw input
+    assert bpe("<<ENT>>") == [30]
+
+
+def test_bpe_subword_prefix_and_suffix():
+    """continuing_subword_prefix decorates interior symbols (and is
+    stripped from the right side on merge); end_of_word_suffix
+    decorates the final symbol — HF BPE model semantics."""
+    from gliner_spark.kernels.subword import BPEEncoder
+
+    enc = BPEEncoder(
+        {"a": 0, "##b": 1, "##c": 2, "ab": 3},
+        ["a ##b"], continuing_subword_prefix="##",
+    )
+    assert enc.encode_piece("abc") == [3, 2]  # ab (merged) + ##c
+
+    eow = BPEEncoder(
+        {"a": 0, "b</w>": 1, "ab</w>": 2},
+        ["a b</w>"], end_of_word_suffix="</w>",
+    )
+    assert eow.encode_piece("ab") == [2]
+
+
+def test_bpe_byte_fallback_and_fuse_unk():
+    from gliner_spark.kernels.subword import BPEEncoder
+
+    fb = BPEEncoder(
+        {"a": 0, "<0xC3>": 1, "<0xA9>": 2}, [], byte_fallback=True,
+    )
+    assert fb.encode_piece("aé") == [0, 1, 2]  # é -> UTF-8 byte ids
+
+    fu = BPEEncoder({"a": 0, "<unk>": 9}, [], unk_token="<unk>",
+                    fuse_unk=True)
+    assert fu.encode_piece("axxa") == [0, 9, 0]
+
+    # no unk and no fallback: HF drops the unknown symbol
+    drop = BPEEncoder({"a": 0}, [])
+    assert drop.encode_piece("axa") == [0, 0]
+
+
+def test_gpt2_split_scanner():
+    from gliner_spark.kernels.subword import _gpt2_split
+
+    assert _gpt2_split(" hello") == [" hello"]
+    assert _gpt2_split(" don't stop") == [" don", "'t", " stop"]
+    assert _gpt2_split("ab12cd") == ["ab", "12", "cd"]
+    assert _gpt2_split(" x!!y") == [" x", "!!", "y"]
+
+
+def test_precompiled_charsmap_real_decoder():
+    """The SentencePiece double-array-trie charsmap, decoded for real:
+    mappings where charsmap != NFKC prove the NFKC approximation is
+    gone. Fixture blob built by tools/spm_charsmap.py (the encoder side
+    of the same published format)."""
+    import base64
+    import sys
+    import unicodedata
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.spm_charsmap import build_charsmap
+
+    zwsp = chr(0x200B)
+    blob = build_charsmap({
+        chr(0xE9): "e",        # é -> e: NFKC keeps é, charsmap must win
+        zwsp: "",              # deletion mapping
+        chr(0xFB01): "fi",     # ligature (NFKC-agreeing entry)
+        "abc": "X", "ab": "Y",  # longest-match over shared prefixes
+    })
+    assert unicodedata.normalize("NFKC", chr(0xE9)) == chr(0xE9)
+
+    tok = SubwordTokenizer({
+        "normalizer": {"type": "Precompiled",
+                       "precompiled_charsmap":
+                           base64.b64encode(blob).decode("ascii")},
+        "model": {"type": "WordPiece", "unk_token": "[UNK]",
+                  "vocab": {"[UNK]": 0, "cafe": 1, "fin": 2, "xXz": 3,
+                            "xYz": 4, "plain": 5}},
+    })
+    assert tok.encode_word("caf" + chr(0xE9)) == [1]       # byte-exact
+    assert tok.encode_word("fi" + zwsp + "n") == [2]
+    assert tok.encode_word("xabcz") == [3]                  # abc -> X
+    assert tok.encode_word("xabz") == [4]                   # ab  -> Y
+    assert tok.encode_word("plain") == [5]                  # passthrough
 
 
 def test_encode_batch_over_pure_tokenizer(wp):
@@ -160,13 +272,20 @@ def test_wordpiece_pieces_reconstruct_word(word):
         assert joined == word
 
 
+with open(UNI, encoding="utf-8") as _f:
+    _UNI_CFG = json.load(_f)
+    _UNI_CFG["model"]["fuse_unk"] = False  # 1 unk id == 1 char, exactly
+_UNI_UNFUSED = SubwordTokenizer(_UNI_CFG).encode_word
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.text(alphabet="dehiklmorvwy", min_size=1, max_size=14))
 def test_unigram_lattice_covers_every_char(word):
     """Viterbi soundness: the chosen segmentation consumes the
     metaspace-prefixed word exactly once — vocab pieces consume their
-    own length, each unk consumes one character."""
-    ids = _UNI_ENC(word)
+    own length, each unk consumes one character (fuse_unk disabled so
+    the per-char accounting stays tight)."""
+    ids = _UNI_UNFUSED(word)
     consumed = sum(1 if i == 0 else len(_UNI_VOCAB[i]) for i in ids)
     assert consumed == len("▁" + word)
 
