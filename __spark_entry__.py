@@ -135,16 +135,26 @@ def q_kg_links_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXACT oracle (shares kg_links's): bands=64 (r=1) puts the per-pair
     # miss probability at threshold-Jaccard 0.30 near (1-0.3)^64 ≈ 1e-10,
     # and candidates are exact-verified, so output ≡ exact_jaccard_links
-    # whenever recall is 1 — asserted at both gate scales in
+    # whenever recall is 1. The banding argument alone is NOT sufficient
+    # — the skew guard drops buckets > max_bucket, which at r=1 could
+    # hide a true pair — so the gate-scale test also asserts
+    # lsh_dropped_buckets() == 0 (zero truncation) on this corpus:
     # tests/test_linking.py::test_lsh_links_exact_at_gate_scale
     return lsh_links(entity_surfaces(_mentions(spark, sf_dir)), bands=64)
 
 
 def q_kg_links_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # north-star linking stage: LSH blocking + cosine over span
-    # embeddings; rows-only (hashing-trick embedding has no SQL form),
-    # bounded by tests/test_linking.py
-    return lsh_cosine_links(_mentions(spark, sf_dir))
+    # EXACT oracle: same hashing-trick ±1 gram-vote embedding + cosine
+    # as the production lsh_cosine_links, but with the 60-bit md5-fold
+    # gram hash (SQL-reproducible) over exact-verified Jaccard blocking
+    # — every stage has a DuckDB form, so the hash gate finally sees the
+    # whole linking math. The FNV + MinHash-LSH production variant stays
+    # pytest-pinned (tests/test_linking.py).
+    from gliner_spark.operators.embed import cosine_links_md5
+
+    surfaces = entity_surfaces(_mentions(spark, sf_dir))
+    candidates = exact_jaccard_links(surfaces, threshold=0.10)
+    return cosine_links_md5(surfaces, candidates, threshold=0.50)
 
 
 def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,8 +198,12 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    # rows-only: SimHash bit-votes have no SQL form; pytest goldens
-    return simhash_dups(_documents(spark, sf_dir))
+    # EXACT oracle: the identical bit-vote → byte-band → Hamming
+    # pipeline with hash_family='md5_60' (60-bit md5 fold), which DuckDB
+    # recomputes verbatim — votes, signatures, bands and all. xxhash64
+    # stays the documented 100 TB default (cheapest JVM hash family;
+    # same code path, pytest-pinned goldens + recall properties).
+    return simhash_dups(_documents(spark, sf_dir), hash_family="md5_60")
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -566,11 +580,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": oracle.kg_edges_sql(),
         "kg_links": oracle.kg_links_sql(),
         "kg_links_lsh": oracle.kg_links_sql(),
+        "kg_links_cosine": oracle.kg_links_cosine_sql(),
         "kg_nodes": oracle.kg_nodes_sql(),
         "kg_nodes_star": oracle.kg_nodes_sql(),
         "dedup_exact": oracle.dedup_exact_sql(),
         "dedup_ngram": oracle.dedup_ngram_sql(),
         "dedup_minhash": oracle.dedup_ngram_sql(),
+        "dedup_simhash": oracle.dedup_simhash_sql(),
         "dedup_embedding": oracle.embedding_dups_sql(),
         "ann_topk": oracle.ann_topk_sql(),
         "ann_topk_lsh": oracle.ann_topk_sql(),

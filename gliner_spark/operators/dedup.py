@@ -232,15 +232,41 @@ def hash_str_64(s: str) -> int:
     return h
 
 
+def md5_hash60(col):
+    """60-bit integer folded from the md5 hex digest's first 15 nibbles
+    — a token-hash family DuckDB reproduces verbatim
+    (``('0x'||substr(md5(w),1,15))::BIGINT``), unlike ``xxhash64``/FNV
+    which have no SQL form. 60 bits (not 64) keeps every derived value
+    — including bit-vote signatures re-folded from per-bit sums —
+    inside non-negative int64 range on BOTH engines, so no
+    two's-complement edge exists anywhere in the oracle comparison."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, simhash): token hashing runs JVM-side (``xxhash64`` over
     the split-token array, whole-stage codegen); only the bit-vote
     accumulation — which has no efficient SQL form — crosses into an
     Arrow-batched pandas stage, fully numpy-vectorized over the
     concatenated int64 hash arrays (no per-token Python). Zero shuffle:
-    both stages are row-local."""
+    both stages are row-local.
+
+    ``hash_family`` picks the token hash: ``xxhash64`` (default — the
+    cheapest JVM-side family, the 100 TB choice) or ``md5_60`` (60-bit
+    md5 fold, ``md5_hash60``) whose values — and therefore the whole
+    vote → signature → band → Hamming chain — a DuckDB oracle
+    recomputes exactly. Same algorithm either way; only the hash family
+    differs."""
+    if hash_family == "xxhash64":
+        def token_hash(w):
+            return F.xxhash64(w)
+    elif hash_family == "md5_60":
+        token_hash = md5_hash60
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     # empty/null text → empty hash array (signature 0, matching the
     # reference kernel _simhash64([]) == 0 — otherwise empty docs would
     # all carry xxhash64("")'s bit pattern and false-pair with anything
@@ -249,7 +275,7 @@ def simhash_signatures(
     hashes = F.when(
         F.length(text) == 0, F.array().cast("array<long>")
     ).otherwise(
-        F.transform(F.split(text, " "), lambda w: F.xxhash64(w))
+        F.transform(F.split(text, " "), token_hash)
     )
     src = ensure_parallelism(
         docs.select(
@@ -304,12 +330,13 @@ def simhash_dups(
     max_bucket: int = 10_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(src, dst, hamming): pairs within Hamming distance via 16-bit band
     blocking (any pair with distance ≤ 6 shares ≥ 1 of 4 exact bands
     unless all differing bits spread 3+ bands; recall measured in tests).
     """
-    sig = simhash_signatures(docs, id_col, text_col)
+    sig = simhash_signatures(docs, id_col, text_col, hash_family)
     # band_bits=8 → 8 bands: a pair with Hamming ≤ 6 almost always leaves
     # ≥1 of 8 bytes identical; at web scale prefer band_bits=16 (4 bands,
     # max_hamming≈3) — byte-bands collide too often on 10^12 docs. The

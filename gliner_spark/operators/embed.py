@@ -154,6 +154,78 @@ def cosine_links(
     )
 
 
+def md5_gram_vectors(
+    surfaces: DataFrame, dim: int = 64, k: int = 3,
+    id_col: str = "sid", text_col: str = "surface",
+) -> DataFrame:
+    """Sparse (sid, bucket, v) hashing-trick vector whose gram hash is
+    the 60-bit md5 fold (``dedup.md5_hash60``) — the SQL-reproducible
+    twin of ``embed_texts``'s FNV path: identical ±1 bucket-vote
+    construction (distinct char k-grams, bucket = h mod dim, sign from
+    a high hash bit), different hash family, so a DuckDB oracle
+    recomputes every vector entry exactly. Pure Catalyst — no Python
+    stage at all (the FNV path needs numpy; this one doesn't)."""
+    from .dedup import md5_hash60
+
+    grams = char_shingles(F.col(text_col), k)
+    sign = F.when(
+        F.shiftright(F.col("h"), 59).bitwiseAND(F.lit(1)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        surfaces.select(
+            F.col(id_col).alias("sid"), F.explode(grams).alias("gram")
+        )
+        .withColumn("h", md5_hash60(F.col("gram")))
+        .groupBy("sid", F.pmod(F.col("h"), F.lit(dim)).alias("bucket"))
+        .agg(F.sum(sign).alias("v"))
+    )
+
+
+def cosine_links_md5(
+    surfaces: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.50,
+    dim: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """``cosine_links`` over the md5-gram vectors: candidates(src, dst)
+    → (src, dst, cos) with cosine ≥ threshold. The dot product is a
+    bucket equi-join + integer multiply-sum (vector entries are integer
+    votes, so the only floats are the two norms and the final divide —
+    no accumulation-order hazard for the oracle comparison). Everything
+    is whole-stage codegen; the vector table is surface-universe-sized
+    (vocabulary-bounded), so both joins broadcast at any corpus scale."""
+    vec = md5_gram_vectors(surfaces, dim=dim, k=k)
+    norm = vec.groupBy("sid").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    va = vec.select(
+        F.col("sid").alias("src"), "bucket", F.col("v").alias("va")
+    )
+    vb = vec.select(
+        F.col("sid").alias("dst"), "bucket", F.col("v").alias("vb")
+    )
+    na = norm.select(F.col("sid").alias("src"), F.col("nrm").alias("na"))
+    nb = norm.select(F.col("sid").alias("dst"), F.col("nrm").alias("nb"))
+    dots = (
+        candidates.select("src", "dst")
+        .join(va, "src")
+        .join(vb, ["dst", "bucket"])
+        .groupBy("src", "dst")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    return (
+        dots.join(na, "src")
+        .join(nb, "dst")
+        .select(
+            "src", "dst",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+            .alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def lsh_cosine_links(
     mentions: DataFrame,
     threshold: float = 0.50,

@@ -203,6 +203,61 @@ def minhash_signature(hashed_col, n_perms: int, seed: int = 7):
     return F.array(*mins)
 
 
+def _banded_signatures(
+    surfaces: DataFrame, k: int, n_perms: int, bands: int, seed: int
+) -> DataFrame:
+    """(sid, label, n_sh, sh, band_idx, band_hash): the banded MinHash
+    signature table ``lsh_links`` joins on — shared with
+    ``lsh_dropped_buckets`` so the recall audit sees the exact same
+    band keys."""
+    assert n_perms % bands == 0
+    rows = n_perms // bands
+    sh = surfaces.withColumn("sh", char_shingles(F.col("surface"), k)).select(
+        "sid", "label", "surface", "sh", F.size("sh").alias("n_sh")
+    )
+    sig = sh.withColumn("hx", hash_shingles(F.col("sh"))).withColumn(
+        "sig", minhash_signature(F.col("hx"), n_perms, seed)
+    ).drop("hx")
+    return sig.select(
+        "sid",
+        "label",
+        "n_sh",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice(F.col("sig"), i * rows + 1, rows)),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def lsh_dropped_buckets(
+    surfaces: DataFrame,
+    k: int = 3,
+    n_perms: int = 64,
+    bands: int = 32,
+    max_bucket: int = 2000,
+    seed: int = 7,
+) -> int:
+    """Number of band buckets ``lsh_links`` (same parameters) would DROP
+    under its skew guard. The banding miss-probability argument
+    — (1-J)^bands at r=1 — silently assumes no true pair ever sits in a
+    truncated bucket; this audit makes the assumption checkable: a
+    recall-1.0 claim (e.g. q_kg_links_lsh's exact-oracle sharing) is
+    valid only while this returns 0 at the claimed scale. At r=1 a band
+    key is a single minhash value, so mega-buckets get likelier as the
+    corpus grows — monitor this counter in production jobs before
+    trusting banding math alone."""
+    banded = _banded_signatures(surfaces, k, n_perms, bands, seed)
+    return (
+        banded.groupBy("label", "band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") > max_bucket)
+        .count()
+    )
+
+
 def lsh_links(
     surfaces: DataFrame,
     k: int = 3,
@@ -219,26 +274,7 @@ def lsh_links(
     a (possibly incomplete, tunably-high-recall) subset of
     ``exact_jaccard_links`` — recall measured in tests/bench.
     """
-    assert n_perms % bands == 0
-    rows = n_perms // bands
-    sh = surfaces.withColumn("sh", char_shingles(F.col("surface"), k)).select(
-        "sid", "label", "surface", "sh", F.size("sh").alias("n_sh")
-    )
-    sig = sh.withColumn("hx", hash_shingles(F.col("sh"))).withColumn(
-        "sig", minhash_signature(F.col("hx"), n_perms, seed)
-    ).drop("hx")
-    banded = sig.select(
-        "sid",
-        "label",
-        "n_sh",
-        "sh",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.hash(F.slice(F.col("sig"), i * rows + 1, rows)),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = _banded_signatures(surfaces, k, n_perms, bands, seed)
     # bound pathological band buckets (skew guard)
     bucket = (
         banded.groupBy("label", "band_idx", "band_hash")

@@ -302,6 +302,96 @@ FROM p
 WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= {threshold}"""
 
 
+def dedup_simhash_sql(
+    max_hamming: int = 6,
+    band_bits: int = 8,
+    max_bucket: int = 10_000,
+) -> str:
+    """Mirrors operators/dedup.simhash_dups with hash_family='md5_60':
+    per-token 60-bit md5-fold hashes, majority bit-vote per bit into a
+    signature (bits 60-63 always vote negative so the signature stays a
+    non-negative BIGINT on both engines), byte-band blocking with the
+    bucket guard, Hamming predicate on the pair."""
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, COALESCE(text, '') AS text
+  FROM documents
+),
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM d WHERE length(text) > 0)
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hs, range(0, 60) t(b) GROUP BY doc_id, b
+),
+sig0 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS s
+  FROM votes GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id, COALESCE(sig0.s, 0)::BIGINT AS simhash
+  FROM d LEFT JOIN sig0 USING (doc_id)
+),
+bands AS (
+  SELECT doc_id, simhash, b AS band_idx,
+         (simhash >> (b * {band_bits})) & {mask} AS band_val
+  FROM sig, range(0, {n_bands}) t(b)
+),
+bg AS (
+  SELECT band_idx, band_val FROM bands GROUP BY 1, 2
+  HAVING COUNT(*) > 1 AND COUNT(*) <= {max_bucket}
+),
+pruned AS (SELECT bands.* FROM bands JOIN bg USING (band_idx, band_val))
+SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM pruned a
+JOIN pruned b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+ AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+def kg_links_cosine_sql(
+    blocking_threshold: float = 0.10,
+    threshold: float = 0.50,
+    dim: int = 64,
+    k: int = 3,
+) -> str:
+    """Mirrors operators/embed.cosine_links_md5 over exact-Jaccard
+    blocking: the ``expl`` CTE (links_cte) already holds each surface's
+    distinct char k-grams, so the vector CTE reuses it — exactly what
+    the Spark side's shared ``char_shingles`` guarantees."""
+    return f"""
+WITH {mentions_cte()}, {surfaces_cte()},
+{links_cte(k=k, threshold=blocking_threshold)},
+vec AS (
+  SELECT sid, h % {dim} AS bucket,
+         SUM(CASE WHEN (h >> 59) & 1 = 0 THEN 1 ELSE -1 END)::BIGINT AS v
+  FROM (SELECT sid, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        FROM expl)
+  GROUP BY sid, h % {dim}
+),
+nrm AS (SELECT sid, sqrt(SUM(v * v)) AS nrm FROM vec GROUP BY sid),
+dots AS (
+  SELECT l.src, l.dst, SUM(a.v * b.v)::BIGINT AS dot
+  FROM links l
+  JOIN vec a ON a.sid = l.src
+  JOIN vec b ON b.sid = l.dst AND b.bucket = a.bucket
+  GROUP BY l.src, l.dst
+)
+SELECT d.src, d.dst, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos
+FROM dots d
+JOIN nrm na ON na.sid = d.src
+JOIN nrm nb ON nb.sid = d.dst
+WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6) >= {threshold}"""
+
+
 def embedding_dups_sql(threshold: float = 0.40) -> str:
     """Mirrors operators/similarity.embedding_dup_pairs."""
     return f"""

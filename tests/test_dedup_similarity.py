@@ -137,6 +137,84 @@ def test_simhash_vectorized_vote_semantics(spark):
     assert got[3] == expect
 
 
+def test_md5_60_hash_family_matches_python(spark):
+    """The SQL-reproducible hash family behind the dedup_simhash /
+    kg_links_cosine exact oracles: Spark's
+    conv(substr(md5(w),1,15),16,10) must equal hashlib's digest fold —
+    and the md5_60 simhash must equal the reference vote kernel run
+    over those hashes."""
+    import hashlib
+
+    from gliner_spark.operators.dedup import (
+        md5_hash60,
+        simhash_signatures,
+    )
+
+    words = ["spark", "join", "table", "κύιβ", ""]
+    got = {
+        r.w: r.h
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", md5_hash60(F.col("w")).alias("h"))
+        .collect()
+    }
+    for w in words:
+        expect = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[w] == expect, w
+        assert 0 <= got[w] < 1 << 60
+
+    df = spark.createDataFrame(
+        [(1, "spark join table")], "doc_id long, text string"
+    )
+    sig = simhash_signatures(df, hash_family="md5_60").collect()[0].simhash
+    hs = [int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+          for w in "spark join table".split()]
+    expect = 0
+    for i in range(60):
+        if sum((x >> i) & 1 for x in hs) >= 2:
+            expect |= 1 << i
+    assert sig == expect and sig >= 0
+
+
+def test_md5_gram_vectors_match_python(spark):
+    """kg_links_cosine's embedding twin: the Catalyst gram-vote vector
+    and its cosine must equal a pure-Python recomputation (distinct
+    char-3-grams, bucket = h mod 64, sign from bit 59, integer votes,
+    L2-normalized dot)."""
+    import hashlib
+    import math
+
+    from gliner_spark.operators.embed import (
+        cosine_links_md5,
+        md5_gram_vectors,
+    )
+
+    def py_vec(s):
+        grams = {s[i:i + 3] for i in range(max(1, len(s) - 2))}
+        v = {}
+        for g in grams:
+            h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            v[h % 64] = v.get(h % 64, 0) + (1 if ((h >> 59) & 1) == 0
+                                            else -1)
+        return {b: x for b, x in v.items() if x != 0}
+
+    surfaces = spark.createDataFrame(
+        [("a", "kyiv city"), ("b", "kyiv cty")],
+        "sid string, surface string",
+    )
+    got = {}
+    for r in md5_gram_vectors(surfaces).collect():
+        got.setdefault(r.sid, {})[r.bucket] = r.v
+    assert {b: v for b, v in got["a"].items() if v} == py_vec("kyiv city")
+
+    cands = spark.createDataFrame([("a", "b")], "src string, dst string")
+    rows = cosine_links_md5(surfaces, cands, threshold=-1.0).collect()
+    va, vb = py_vec("kyiv city"), py_vec("kyiv cty")
+    dot = sum(va[k] * vb.get(k, 0) for k in va)
+    cos = dot / (math.sqrt(sum(x * x for x in va.values()))
+                 * math.sqrt(sum(x * x for x in vb.values())))
+    assert rows[0].cos == pytest.approx(round(cos, 6), abs=1e-9)
+
+
 def test_ann_lsh_recall_vs_brute_force(emb):
     qids = list(range(8))
     exact = {

@@ -89,6 +89,13 @@ def test_lsh_links_exact_at_gate_scale(spark):
     ).persist()
     exact = {tuple(r) for r in exact_jaccard_links(surfaces).collect()}
     lsh = {tuple(r) for r in lsh_links(surfaces, bands=64).collect()}
+    # the banding-probability argument silently assumes the skew guard
+    # never truncates a bucket; at r=1 (band key = ONE minhash value)
+    # mega-buckets are plausible as corpora grow, so the recall-1.0
+    # claim must also verify that zero buckets were dropped here
+    from gliner_spark.operators.linking import lsh_dropped_buckets
+
+    assert lsh_dropped_buckets(surfaces, bands=64) == 0
     surfaces.unpersist()
     assert exact and lsh == exact
 
