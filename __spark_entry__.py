@@ -350,21 +350,27 @@ def q_ner_nested_multilabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stat_sig(path: str) -> list[str]:
+    """size/mtime signature lines for a parquet file or directory."""
+    paths = (
+        [os.path.join(path, f) for f in sorted(os.listdir(path))]
+        if os.path.isdir(path) else [path]
+    )
+    out = []
+    for fp in paths:
+        if os.path.exists(fp):
+            st = os.stat(fp)
+            out.append(f"{os.path.basename(fp)}:{st.st_size}:{st.st_mtime_ns}")
+    return out
+
+
 def _ckpt_content_key(sf_dir: str) -> str:
     """Checkpoint-root fingerprint: sf_dir path + documents.parquet
     size/mtime + the stage-logic version. A regenerated corpus or a
     logic change lands in a FRESH root — a stale manifest would mark
     every partition DONE and silently serve old data (ADVICE r2)."""
     parts = [sf_dir, oracle.STAGE_METRICS_VERSION]
-    p = os.path.join(sf_dir, "documents.parquet")
-    paths = (
-        [os.path.join(p, f) for f in sorted(os.listdir(p))]
-        if os.path.isdir(p) else [p]
-    )
-    for fp in paths:
-        if os.path.exists(fp):
-            st = os.stat(fp)
-            parts.append(f"{os.path.basename(fp)}:{st.st_size}:{st.st_mtime_ns}")
+    parts += _stat_sig(os.path.join(sf_dir, "documents.parquet"))
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
@@ -468,16 +474,25 @@ def q_bucketed_join(spark, sf_dir):
     )
     # fixed per-sf external paths under /tmp (the driver session's
     # warehouse dir — cwd/spark-warehouse — may not be writable, and a
-    # fresh dir per call would leak a parquet copy per invocation);
-    # overwrite rewrites the same location
+    # fresh dir per call would leak a parquet copy per invocation).
+    # The input fingerprint (source size/mtime + bucket spec) lets
+    # repeat invocations in a session SKIP the shuffle+rewrite entirely
+    # and reuse the existing bucketed tables.
     root = os.path.join(
         tempfile.gettempdir(),
         f"gliner_bkt_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
+
+    def _fp(src: str) -> str:
+        sig = "|".join([src, "k", "8"] + _stat_sig(src))
+        return hashlib.md5(sig.encode()).hexdigest()
+
     write_bucketed(orders, "gs_bkt_orders", "k", n_buckets=8,
-                   path=f"{root}/orders")
+                   path=f"{root}/orders",
+                   fingerprint=_fp(f"{sf_dir}/orders.parquet"))
     write_bucketed(cust, "gs_bkt_cust", "k", n_buckets=8,
-                   path=f"{root}/cust")
+                   path=f"{root}/cust",
+                   fingerprint=_fp(f"{sf_dir}/customer.parquet"))
     return (
         bucketed_join(spark, "gs_bkt_orders", "gs_bkt_cust", "k")
         .groupBy("c_mktsegment")

@@ -24,6 +24,8 @@ Constraints (asserted in tests):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -34,21 +36,49 @@ def write_bucketed(
     n_buckets: int = 16,
     sort: bool = True,
     path: str | None = None,
-) -> None:
+    fingerprint: str | None = None,
+) -> bool:
     """Materialize ``df`` as a bucketed (and bucket-sorted) table. One
     shuffle now; zero shuffles for every later equi-join or aggregation
-    on ``key`` between same-bucketed tables.
+    on ``key`` between same-bucketed tables. Returns True if the table
+    was (re)written, False if an unchanged existing table was reused.
 
     ``path`` makes the table external at that location — use it when
     the session's warehouse dir (default: cwd/spark-warehouse) may not
     be writable; bucket metadata still lives in the catalog either way.
+
+    ``fingerprint`` (with ``path``): an opaque content key for the
+    INPUT (e.g. source file sizes/mtimes + bucket spec). If the table
+    is already registered and the fingerprint stored beside the data
+    matches, the write — a full shuffle+rewrite of the table — is
+    skipped entirely. A changed fingerprint (new data, different
+    bucket count) rewrites and re-stamps. The stamp is written AFTER a
+    successful save, so a crashed write can never leave a matching
+    fingerprint over partial data.
     """
+    spark = df.sparkSession
+    fp_file = os.path.join(path, "_FINGERPRINT") if path else None
+    if fingerprint is not None and fp_file is not None:
+        try:
+            if spark.catalog.tableExists(table) and \
+                    os.path.exists(fp_file) and \
+                    open(fp_file).read() == fingerprint:
+                return False
+        except Exception:
+            pass  # unreadable stamp → rewrite
+        # stale stamp must not survive a crash mid-rewrite
+        if os.path.exists(fp_file):
+            os.remove(fp_file)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)
     if path:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+    if fingerprint is not None and fp_file is not None:
+        with open(fp_file, "w") as f:
+            f.write(fingerprint)
+    return True
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

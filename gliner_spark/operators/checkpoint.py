@@ -140,6 +140,66 @@ def checkpoint_write(
     return spark.read.parquet(out_path)
 
 
+def compact_manifest(spark: SparkSession, root: str) -> int:
+    """Rewrite the append-only manifest to a single parquet file.
+
+    ``checkpoint_write`` appends one small parquet per call; a
+    long-lived incremental root accumulates unbounded small files.
+    This opt-in maintenance op collapses them, keeping the LATEST row
+    per (stage, part_key, status) — replays of an idempotent write can
+    append duplicate DONE rows, and the newest carries the freshest
+    lineage/ts while n_rows is identical by idempotence. DONE semantics
+    are unchanged: ``completed_partitions`` sees exactly the same key
+    set before and after (pytest-pinned across a resume boundary).
+
+    Single-maintainer op: run it from the process that owns the root
+    with no concurrent ``checkpoint_write`` on the same root — the swap
+    is two renames, not one atomic commit (the same caveat as Hive
+    compaction without a lock service; the Iceberg catalog path gets
+    this atomically via snapshot commit). Returns rows retained."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    path = _manifest_path(root)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return 0
+    w = (
+        Window.partitionBy("stage", PART_COL, "status")
+        .orderBy(F.col("ts").desc())
+    )
+    # materialize off the source files before overwriting them
+    compacted = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint()
+    )
+    n = compacted.count()
+    tmp = path + ".compact"
+    compacted.coalesce(1).write.mode("overwrite").parquet(tmp)
+    trash = path + ".old"
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash, ignore_errors=True)
+    return n
+
+
+def manifest_file_count(root: str) -> int:
+    """Data files currently under the manifest dir (compaction gauge)."""
+    path = _manifest_path(root)
+    if not os.path.isdir(path):
+        return 0
+    return sum(
+        1 for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
 def stage_metrics(spark: SparkSession, root: str) -> DataFrame:
     """All manifest rows — per-stage, per-partition counts and lineage."""
     try:

@@ -61,6 +61,53 @@ def write_table(
     w.save(target)
 
 
+def publish_atomic(
+    df: DataFrame, table_dir: str, keep_versions: int = 3
+) -> str:
+    """Publish ``df`` under ``table_dir`` so a concurrent reader NEVER
+    observes a half-written table: write into a fresh versioned
+    subdirectory, then atomically repoint the ``_CURRENT`` marker
+    (POSIX ``os.replace`` — readers resolve the marker via
+    ``read_published``). The pointer flips only after the parquet write
+    (including its ``_SUCCESS`` commit) finished, so every resolvable
+    version is complete; a crash mid-write leaves an orphan version dir
+    and the old pointer intact.
+
+    ``keep_versions`` old versions are retained so an in-flight reader
+    that resolved the previous pointer can still finish its scan
+    (snapshot isolation with a bounded retention window — the
+    filesystem stand-in for an Iceberg snapshot commit, which the
+    ``write_table`` catalog branch provides natively at cluster scale).
+    Returns the version directory written."""
+    os.makedirs(table_dir, exist_ok=True)
+    versions = sorted(
+        int(d[2:]) for d in os.listdir(table_dir)
+        if d.startswith("v=") and d[2:].isdigit()
+    )
+    v = versions[-1] + 1 if versions else 0
+    vdir = os.path.join(table_dir, f"v={v:08d}")
+    df.write.mode("errorifexists").parquet(vdir)
+    tmp = os.path.join(table_dir, "_CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"v={v:08d}")
+    os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
+    import shutil
+
+    for old in versions[:-(keep_versions - 1)] if keep_versions > 1 \
+            else versions:
+        shutil.rmtree(
+            os.path.join(table_dir, f"v={old:08d}"), ignore_errors=True
+        )
+    return vdir
+
+
+def read_published(spark, table_dir: str) -> DataFrame:
+    """Resolve the ``_CURRENT`` marker and read that (complete) version."""
+    with open(os.path.join(table_dir, "_CURRENT")) as f:
+        v = f.read().strip()
+    return spark.read.parquet(os.path.join(table_dir, v))
+
+
 def materialize_kg(kg, root: str, fmt: str = "parquet") -> dict:
     """Write a KgResult's four tables under ``root`` with the layout
     above; returns {table: target} for downstream registration.

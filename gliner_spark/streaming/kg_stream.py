@@ -52,12 +52,13 @@ def stream_kg_updates(
             batch_df, labels, checkpoint_root, cfg=cfg, link_fn=link_fn,
             batch_id=f"epoch{batch_id}",
         )
-        kg.nodes.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "nodes")
-        )
-        kg.edges.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "edges")
-        )
+        # versioned-dir + pointer-swap publish: a reader resolving
+        # nodes/edges between (or during) micro-batches always sees one
+        # COMPLETE epoch's table, never an in-place half-overwrite
+        from ..operators.sinks import publish_atomic
+
+        publish_atomic(kg.nodes, os.path.join(out_dir, "nodes"))
+        publish_atomic(kg.edges, os.path.join(out_dir, "edges"))
 
     return (
         pages_stream.writeStream.foreachBatch(_fold)

@@ -218,6 +218,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_cust")
 
 
+def test_write_bucketed_skips_unchanged_fingerprint(spark, tmp_path):
+    """Repeat invocations with an unchanged input fingerprint must NOT
+    rewrite the bucketed table (the rewrite is a full shuffle); a
+    changed fingerprint must."""
+    from gliner_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).withColumnRenamed("o_custkey", "k")
+    path = str(tmp_path / "bkt_orders")
+    try:
+        assert write_bucketed(orders, "b_fp_orders", "k", 8, path=path,
+                              fingerprint="fp-a") is True
+        import os
+
+        mtimes = sorted(
+            os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        # same fingerprint: reused, files untouched
+        assert write_bucketed(orders, "b_fp_orders", "k", 8, path=path,
+                              fingerprint="fp-a") is False
+        assert sorted(
+            os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path) if f.endswith(".parquet")
+        ) == mtimes
+        # table still queryable after the skip
+        assert spark.table("b_fp_orders").count() == orders.count()
+        # changed fingerprint: rewritten
+        assert write_bucketed(orders, "b_fp_orders", "k", 8, path=path,
+                              fingerprint="fp-b") is True
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_fp_orders")
+
+
 # --- sampling + shard packing ---
 def test_hash_sampling_deterministic_and_stratified(spark):
     from gliner_spark.operators.sampling import sample_by_hash

@@ -71,6 +71,93 @@ def test_checkpoint_resume(spark, tmp_path):
     assert metrics2.count() == n_parts  # no new manifest rows appended
 
 
+def test_compact_manifest_resume_and_bounded_files(spark, tmp_path):
+    """Long-lived incremental roots: checkpoint_write appends one small
+    parquet per call; compact_manifest must collapse them to ONE file
+    while DONE semantics survive the boundary (a resume after
+    compaction skips everything, new partitions still append)."""
+    from gliner_spark.operators.checkpoint import (
+        checkpoint_write,
+        compact_manifest,
+        completed_partitions,
+        manifest_file_count,
+        with_part_key,
+    )
+
+    root = str(tmp_path / "root")
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("payload")
+    )
+    staged = with_part_key(docs, "doc_id", n_buckets=8)
+    for i in range(6):  # 6 appended manifest files (2 stages × 3 calls)
+        checkpoint_write(staged, root, f"stage{i % 2}")
+    assert manifest_file_count(root) >= 6
+
+    done_before = {
+        (s, r.part_key)
+        for s in ("stage0", "stage1")
+        for r in completed_partitions(spark, root, s).collect()
+    }
+    n = compact_manifest(spark, root)
+    assert n == 16  # 2 stages × 8 buckets, replays deduped
+    assert manifest_file_count(root) == 1
+    done_after = {
+        (s, r.part_key)
+        for s in ("stage0", "stage1")
+        for r in completed_partitions(spark, root, s).collect()
+    }
+    assert done_after == done_before
+
+    # resume across the compaction boundary: everything DONE -> the
+    # write is a no-op append (row count on disk unchanged)
+    n_rows = spark.read.parquet(f"{root}/stage0").count()
+    checkpoint_write(staged, root, "stage0")
+    assert spark.read.parquet(f"{root}/stage0").count() == n_rows
+    # and a NEW stage still appends normally after compaction
+    checkpoint_write(staged, root, "stage_new")
+    assert completed_partitions(spark, root, "stage_new").count() == 8
+
+
+def test_publish_atomic_reader_never_sees_partial(spark, tmp_path):
+    """Versioned publish: while a publisher repeatedly republishes, a
+    concurrent reader resolving the _CURRENT pointer always reads one
+    COMPLETE version — counts only ever come from the published set,
+    never a partial table, and no read errors."""
+    import threading
+
+    from gliner_spark.operators.sinks import publish_atomic, read_published
+
+    out = str(tmp_path / "pub")
+    sizes = [100, 230, 370, 510]
+    publish_atomic(spark.range(sizes[0]), out)
+
+    seen, errors = [], []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                seen.append(read_published(spark, out).count())
+            except Exception as e:  # a partial/vanished table would land here
+                errors.append(repr(e))
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for n in sizes[1:]:
+            publish_atomic(spark.range(n), out)
+    finally:
+        stop.set()
+        t.join()
+    assert not errors
+    assert seen and set(seen) <= set(sizes)
+    # final state: the last version wins and old versions are pruned
+    import os
+
+    assert read_published(spark, out).count() == sizes[-1]
+    assert sum(1 for d in os.listdir(out) if d.startswith("v=")) <= 3
+
+
 def test_incremental_merge_equals_from_scratch(spark, tmp_path):
     """merge(A) then merge(B) must yield node/edge tables identical to
     building over A ∪ B from scratch, and mention scoring must be

@@ -133,9 +133,11 @@ def test_stream_kg_updates_matches_batch_build(spark, tmp_path):
     def rows(df, cols):
         return sorted(tuple(r) for r in df.select(*cols).collect())
 
-    got_nodes = rows(spark.read.parquet(f"{out}/nodes"), node_cols)
+    from gliner_spark.operators.sinks import read_published
+
+    got_nodes = rows(read_published(spark, f"{out}/nodes"), node_cols)
     assert got_nodes == rows(full.nodes, node_cols) and got_nodes
-    assert rows(spark.read.parquet(f"{out}/edges"), edge_cols) == rows(
+    assert rows(read_published(spark, f"{out}/edges"), edge_cols) == rows(
         full.edges, edge_cols
     )
 
@@ -147,7 +149,8 @@ def test_stream_kg_updates_matches_batch_build(spark, tmp_path):
     ).start()
     q2.awaitTermination()
     assert spark.read.parquet(f"{root}/mentions").count() == n_mentions
-    assert rows(spark.read.parquet(f"{out}/nodes"), node_cols) == got_nodes
+    assert rows(read_published(spark, f"{out}/nodes"), node_cols) \
+        == got_nodes
     pages.unpersist()
 
 
