@@ -483,3 +483,61 @@ def test_token_decode_running_mean():
     ]
     assert abs(spans[0][4] - 0.8) < 1e-5
     assert abs(spans[1][4] - 0.75) < 1e-5  # running mean (0.8+0.7)/2
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),   # n_tok (real words)
+    st.integers(min_value=0, max_value=4),   # padding words beyond n_tok
+    st.lists(st.sampled_from([-6.0, -0.5, 0.5, 6.0]), min_size=1,
+             max_size=120),
+)
+def test_token_decode_clamp_only_removes_oob_spans(n_tok, pad, vals):
+    """DOCUMENTED DIVERGENCE-BY-BUGFIX vs the reference: in a ragged
+    batch the reference walks end tokens to the PADDED numWords and
+    indexes tokens[batch_id][endToken] out of bounds whenever a shorter
+    doc's padded scores stay above threshold
+    (/root/reference/src/decoder.cpp:154-177 — endToken ranges over
+    numWords with no per-doc bound). This repo clamps both walks at the
+    doc's own token count (kernels/decode.py). Property: the clamped
+    output equals the reference's walk MINUS exactly the spans whose
+    start or end index lies beyond the doc — the clamp never removes a
+    span a real token pair backs, and never adds one."""
+    text = " ".join("w%d" % i for i in range(n_tok))
+    tokens = tokenize_text(text)
+    assert len(tokens) == n_tok
+    labels = ["x"]
+    num_words = n_tok + pad  # reference walks the padded width
+    logits = np.full((3, num_words, 1), -12.0, dtype=np.float32)
+    flat = logits.reshape(-1)
+    flat[: min(len(vals), flat.size)] = vals[: flat.size]
+
+    got = decode_token_logits(logits, tokens, text, labels, threshold=0.5)
+
+    # reference end-walk over the padded width, word-index form; spans
+    # touching w >= n_tok are the ones whose token lookup is UB in C++
+    probs = 1.0 / (1.0 + np.exp(-logits.astype(np.float64)))
+    ref, t = [], 0.5
+    for s_w in range(num_words):
+        if probs[0, s_w, 0] < t:
+            continue
+        score_sum, n = 0.0, 0
+        for e_w in range(s_w, num_words):
+            score = probs[2, e_w, 0]
+            if probs[1, e_w, 0] < t:
+                continue
+            if score < t:
+                break
+            score_sum += float(score)
+            n += 1
+            ref.append((s_w, e_w, score_sum / n))
+    in_bounds = [r for r in ref if r[0] < n_tok and r[1] < n_tok]
+    expect = [
+        (tokens[s][0], tokens[e][1],
+         text.encode()[tokens[s][0]:tokens[e][1]].decode(), "x", p)
+        for s, e, p in in_bounds
+    ]
+    assert [(g[0], g[1], g[2], g[3]) for g in got] == \
+        [(e[0], e[1], e[2], e[3]) for e in expect]
+    for g, e in zip(got, expect):
+        assert abs(g[4] - e[4]) < 1e-5
