@@ -206,6 +206,16 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_dups(_documents(spark, sf_dir), hash_family="md5_60")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    # curation decision layer: pair graph → connected components →
+    # canonical representative; EXACT oracle (recursive CTE closure
+    # over the same ngram-Jaccard pairs). minhash_dups is the blocked
+    # pair source at scale (same output — pairs are exact-verified).
+    from gliner_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(_documents(spark, sf_dir))
+
+
 def q_dedup_embedding(spark, sf_dir):
     # LSH-blocked plan (no cross join anywhere); the exact O(n²) form
     # stays as the DuckDB oracle — recall 1.0 at test scale is asserted
@@ -549,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": q_dedup_ngram,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -602,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": oracle.dedup_ngram_sql(),
         "dedup_minhash": oracle.dedup_ngram_sql(),
         "dedup_simhash": oracle.dedup_simhash_sql(),
+        "dedup_clusters": oracle.dedup_clusters_sql(),
         "dedup_embedding": oracle.embedding_dups_sql(),
         "ann_topk": oracle.ann_topk_sql(),
         "ann_topk_lsh": oracle.ann_topk_sql(),

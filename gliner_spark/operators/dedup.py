@@ -120,6 +120,66 @@ def ngram_jaccard_dups(
     ).where(F.col("sim") >= threshold)
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pairs_fn=None,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, keep): the curation DECISION
+    layer over pairwise near-dup detection — transitive closure of the
+    dup-pair graph (a≈b, b≈c ⇒ one cluster even when a/c don't pair),
+    cluster id = min member, keep = the canonical representative.
+    Dropping ``keep = false`` rows is the dedup a training-data pipeline
+    actually applies.
+
+    Scale shape: the pair graph contains ONLY docs with a near-dup
+    (≪ corpus); connected components runs on that subgraph, and docs
+    without pairs short-circuit to singleton clusters via a left join —
+    the CC iterations never see the clean majority of a 10^12-doc
+    corpus. ``pairs_fn`` swaps the pair source (e.g. ``minhash_dups``,
+    the blocked production path — default here is the exact
+    ``ngram_jaccard_dups`` that shares the DuckDB oracle)."""
+    pairs = (
+        pairs_fn(docs) if pairs_fn is not None
+        else ngram_jaccard_dups(docs, k=k, threshold=threshold,
+                                id_col=id_col, text_col=text_col)
+    )
+
+    # zero-padded node ids: CC's lexicographic min == numeric min
+    def pad(c):
+        return F.lpad(c.cast("string"), 20, "0")
+
+    from .canonicalize import connected_components
+
+    comp = connected_components(
+        pairs.select(pad(F.col("src")).alias("src"),
+                     pad(F.col("dst")).alias("dst"))
+    )
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    clustered = (
+        ids.join(comp, pad(F.col("doc_id")) == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component").cast("long"), F.col("doc_id"))
+            .alias("cluster_id"),
+        )
+    )
+    sizes = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clustered.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        # hash-min CC labels every member with the component minimum,
+        # so the canonical keeper IS the cluster id
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def minhash_dups(
     docs: DataFrame,
     k: int = 3,

@@ -276,10 +276,12 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents"""
 
 
-def dedup_ngram_sql(k: int = 3, threshold: float = 0.8) -> str:
-    """Mirrors operators/dedup.ngram_jaccard_dups."""
+def _ngram_pairs_cte(k: int = 3, threshold: float = 0.8) -> str:
+    """``dup_pairs(src, dst, sim)`` CTE chain mirroring
+    operators/dedup.ngram_jaccard_dups — shared by the pairwise query
+    and the clustering query."""
     return f"""
-WITH w AS (
+w AS (
   SELECT CAST(doc_id AS BIGINT) AS sid, string_split(text, ' ') AS w
   FROM documents
 ),
@@ -296,10 +298,50 @@ p AS (
          CAST(COUNT(*) AS BIGINT) AS inter
   FROM e a JOIN e b ON a.s = b.s AND a.sid < b.sid
   GROUP BY 1, 2, 3, 4
+),
+dup_pairs AS (
+  SELECT src, dst,
+         ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS sim
+  FROM p
+  WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= {threshold}
+)"""
+
+
+def dedup_ngram_sql(k: int = 3, threshold: float = 0.8) -> str:
+    """Mirrors operators/dedup.ngram_jaccard_dups."""
+    return f"WITH {_ngram_pairs_cte(k, threshold)} " \
+           "SELECT * FROM dup_pairs"
+
+
+def dedup_clusters_sql(k: int = 3, threshold: float = 0.8) -> str:
+    """Mirrors operators/dedup.near_dup_clusters: transitive closure of
+    the dup-pair graph via recursive CTE, cluster id = min member,
+    singletons via left join."""
+    return f"""WITH RECURSIVE {_ngram_pairs_cte(k, threshold)},
+sym AS (
+  SELECT src AS a, dst AS b FROM dup_pairs
+  UNION
+  SELECT dst AS a, src AS b FROM dup_pairs
+),
+reach(node, root) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, r.root FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+lab AS (
+  SELECT ids.doc_id,
+         COALESCE(comp.component, ids.doc_id) AS cluster_id
+  FROM ids LEFT JOIN comp ON comp.node = ids.doc_id
+),
+sz AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM lab GROUP BY 1
 )
-SELECT src, dst, ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS sim
-FROM p
-WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= {threshold}"""
+SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+       lab.doc_id = lab.cluster_id AS keep
+FROM lab JOIN sz USING (cluster_id)"""
 
 
 def dedup_simhash_sql(

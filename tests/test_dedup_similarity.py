@@ -137,6 +137,30 @@ def test_simhash_vectorized_vote_semantics(spark):
     assert got[3] == expect
 
 
+def test_near_dup_clusters_transitive(spark):
+    """a≈b and b≈c must land in ONE cluster even when a and c are not
+    themselves a pair (the pairwise output can't express this); clean
+    docs become singleton keepers."""
+    from gliner_spark.operators.dedup import near_dup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lambda"),          # pairs with 1 and 3
+            (3, base + " lambda mu"),       # pairs with 2, maybe not 1
+            (7, "totally different content with no shared phrases at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in near_dup_clusters(docs).collect()}
+    assert rows[1].cluster_id == rows[2].cluster_id == rows[3].cluster_id == 1
+    assert rows[1].cluster_size == 3
+    assert rows[1].keep and not rows[2].keep and not rows[3].keep
+    assert rows[7].cluster_id == 7 and rows[7].cluster_size == 1
+    assert rows[7].keep
+
+
 def test_md5_60_hash_family_matches_python(spark):
     """The SQL-reproducible hash family behind the dedup_simhash /
     kg_links_cosine exact oracles: Spark's

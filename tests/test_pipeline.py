@@ -219,7 +219,7 @@ def test_incremental_merge_records_zero_mention_partitions(spark, tmp_path):
     merge_kg_batch(pages, ALL_LABELS, root)
     from gliner_spark.plans.incremental import _batch_fingerprint
 
-    fp = _batch_fingerprint(pages, "url")
+    fp = _batch_fingerprint(pages, "url", "text")
     expected = {
         f"{fp}-{r.part_key}"
         for r in with_part_key(
@@ -234,6 +234,13 @@ def test_incremental_merge_records_zero_mention_partitions(spark, tmp_path):
     n = stage_metrics(spark, root).count()
     merge_kg_batch(pages, ALL_LABELS, root)
     assert stage_metrics(spark, root).count() == n
+    # recrawl semantics (ADVICE r3): SAME urls with UPDATED text is a
+    # DIFFERENT batch — the content fingerprint must change, or the old
+    # manifest would left-anti away every rescored mention
+    recrawl = pages.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" updated"))
+    )
+    assert _batch_fingerprint(recrawl, "url", "text") != fp
 
 
 def test_checkpoint_zero_row_partitions_marked_done(spark, tmp_path):
