@@ -97,6 +97,56 @@ def connected_components(
     return labels
 
 
+def connected_components_auto(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Size-adaptive connected components.
+
+    The graphs this pipeline canonicalizes are vocabulary-bounded
+    (distinct-surface link pairs / near-dup doc pairs), usually orders
+    of magnitude smaller than the corpus. Up to ``driver_threshold``
+    edges the labeling runs as a driver-side union-find over ONE
+    collected pass of the edge list — identical output to the
+    distributed iteration with none of its per-iteration shuffle +
+    localCheckpoint + convergence-action fixed costs (measured ~2 s of
+    overhead on a 4-edge graph). Bounded driver state with an explicit
+    threshold — the same legitimacy argument as the IVF centroid
+    collect (operators/similarity.py). Above the threshold it falls
+    back to the distributed hash-min iteration; the collect is a
+    ``limit(threshold+1)`` so the probe itself never materializes an
+    oversized graph on the driver."""
+    rows = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).limit(driver_threshold + 1).collect()
+    if len(rows) > driver_threshold:
+        return connected_components(edges, src, dst, max_iters)
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r.a), find(r.b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for r in rows for v in (r.a, r.b)}
+    labels = [(n, find(n)) for n in sorted(nodes)]
+    spark = edges.sparkSession
+    node_type = edges.schema[src].dataType.simpleString()
+    return spark.createDataFrame(
+        labels, f"node {node_type}, component {node_type}"
+    )
+
+
 def canonical_entities(
     surfaces: DataFrame, links: DataFrame, max_iters: int = 20,
     cc_fn=None,
@@ -106,10 +156,13 @@ def canonical_entities(
 
     entity_id = min sid in the component; singleton surfaces (no link)
     are their own entity. canonical = the entity_id's surface string.
-    ``cc_fn`` selects the components algorithm (hash-min default;
+    ``cc_fn`` selects the components algorithm (size-adaptive default:
+    driver union-find below 1M edges, distributed hash-min above;
     ``connected_components_star`` for the O(log n)-round path).
     """
-    comp = (cc_fn or connected_components)(links, "src", "dst", max_iters)
+    comp = (cc_fn or connected_components_auto)(
+        links, "src", "dst", max_iters
+    )
     mapped = (
         surfaces.join(comp, surfaces.sid == comp.node, "left")
         .select(

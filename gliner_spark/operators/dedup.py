@@ -152,9 +152,9 @@ def near_dup_clusters(
     def pad(c):
         return F.lpad(c.cast("string"), 20, "0")
 
-    from .canonicalize import connected_components
+    from .canonicalize import connected_components_auto
 
-    comp = connected_components(
+    comp = connected_components_auto(
         pairs.select(pad(F.col("src")).alias("src"),
                      pad(F.col("dst")).alias("dst"))
     )

@@ -117,6 +117,31 @@ def test_connected_components_chain(spark):
     assert comp["p"] == comp["q"] == comp["r"] == comp["s"] == "p"
 
 
+def test_cc_auto_matches_distributed_both_sides_of_threshold(spark):
+    """connected_components_auto must equal the distributed hash-min
+    labeling exactly — on the driver union-find path AND past the
+    threshold where it falls back to the iteration."""
+    from gliner_spark.operators.canonicalize import (
+        connected_components,
+        connected_components_auto,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r")],
+        "src string, dst string",
+    )
+    dist = {(r.node, r.component)
+            for r in connected_components(edges).collect()}
+    auto = {(r.node, r.component)
+            for r in connected_components_auto(edges).collect()}
+    assert auto == dist
+    # force the fallback: threshold below the edge count
+    fb = {(r.node, r.component)
+          for r in connected_components_auto(
+              edges, driver_threshold=2).collect()}
+    assert fb == dist
+
+
 def test_canonical_entities_singletons_and_merge(spark):
     surfaces = _surfaces(spark, SURF_ROWS)
     links = exact_jaccard_links(surfaces, threshold=0.30)
