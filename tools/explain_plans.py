@@ -133,7 +133,25 @@ def main() -> int:
           f"-> {n_salted} vs {n_plain}")
     bad += not ok6
 
-    # 7. TPC-H-style join: small dim broadcast without hints
+    # 7. md5-gram cosine twin: pure Catalyst end to end — the embedding
+    # votes, norms, bucket-join dot product and threshold must all run
+    # JVM-side (no Python stage of any kind), with codegen spans
+    from gliner_spark.operators.embed import cosine_links_md5
+
+    surf = spark.createDataFrame(
+        [("a", "kyiv city"), ("b", "kyiv cty")],
+        "sid string, surface string",
+    )
+    cands = spark.createDataFrame([("a", "b")], "src string, dst string")
+    p = executed_plan_of(cosine_links_md5(surf, cands, threshold=-1.0))
+    bad += not check(
+        "cosine_links_md5 (pure Catalyst, codegen)",
+        p,
+        {"ArrowEvalPython": False, "BatchEvalPython": False,
+         "MapInPandas": False, "*(": True},
+    )
+
+    # 8. TPC-H-style join: small dim broadcast without hints
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     cust = spark.read.parquet(f"{SF}/customer.parquet")
     j = orders.join(cust, orders.o_custkey == cust.c_custkey).groupBy(
