@@ -68,7 +68,6 @@ from gliner_spark.operators.textstats import (
     quality_score,
     token_stats,
 )
-from gliner_spark.operators.embed import lsh_cosine_links
 from gliner_spark.operators.sampling import pack_shards, sample_by_hash
 from gliner_spark.operators.skew import salted_equi_join
 from gliner_spark.plans.curation import curate

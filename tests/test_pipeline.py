@@ -158,6 +158,29 @@ def test_publish_atomic_reader_never_sees_partial(spark, tmp_path):
     assert sum(1 for d in os.listdir(out) if d.startswith("v=")) <= 3
 
 
+def test_publish_atomic_crash_orphan_is_harmless(spark, tmp_path):
+    """A crash mid-write leaves a version dir WITHOUT a pointer flip:
+    readers keep resolving the old complete version, and the next
+    successful publish allocates a higher version (never adopts or
+    collides with the orphan)."""
+    import os
+
+    from gliner_spark.operators.sinks import publish_atomic, read_published
+
+    out = str(tmp_path / "pub")
+    publish_atomic(spark.range(50), out)
+    # simulate a crashed writer: partial dir, no _SUCCESS, pointer NOT
+    # flipped
+    orphan = os.path.join(out, "v=00000001")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00garbage")  # not even valid parquet
+    assert read_published(spark, out).count() == 50  # old version serves
+    vdir = publish_atomic(spark.range(75), out)
+    assert vdir.endswith("v=00000002")  # orphan's number not reused
+    assert read_published(spark, out).count() == 75
+
+
 def test_incremental_merge_equals_from_scratch(spark, tmp_path):
     """merge(A) then merge(B) must yield node/edge tables identical to
     building over A ∪ B from scratch, and mention scoring must be
