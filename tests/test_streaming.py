@@ -154,6 +154,35 @@ def test_stream_kg_updates_matches_batch_build(spark, tmp_path):
     pages.unpersist()
 
 
+def test_run_kg_stream_job_entrypoint(spark, tmp_path, monkeypatch):
+    """jobs/run_kg_stream.py drains available page files into published
+    KG tables end to end (in-process; the spark-submit mechanics are
+    exercised by test_submit.py for the batch twin)."""
+    import os
+    import runpy
+    import sys
+
+    from gliner_spark.operators.sinks import read_published
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "kg_out")
+    root = str(tmp_path / "ckpt")
+    synthesize_pages(spark, 60).coalesce(2).write.parquet(src)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.setattr(sys, "argv", [
+        "run_kg_stream.py", "--input", src, "--output", out,
+        "--checkpoint-root", root, "--max-files-per-trigger", "1",
+    ])
+    runpy.run_path(os.path.join(repo, "jobs/run_kg_stream.py"),
+                   run_name="__main__")
+
+    nodes = read_published(spark, f"{out}/nodes")
+    edges = read_published(spark, f"{out}/edges")
+    assert nodes.count() > 0 and edges.count() > 0
+    assert spark.read.parquet(f"{root}/mentions").count() > 0
+
+
 def test_stateful_streaming_dedup(spark, tmp_path):
     """applyInPandasWithState: first-seen dedup must hold ACROSS
     micro-batches (state store), not just within one."""
