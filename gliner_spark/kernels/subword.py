@@ -75,6 +75,7 @@ class _Charsmap:
         """(match_byte_len, pool_offset) of the longest trie prefix of
         ``data[start:]``, or None."""
         units = self.units
+        n_units = len(units)
         unit = units[0]
         node_pos = (unit >> 10) << ((unit & 0x200) >> 6)
         found: Optional[Tuple[int, int]] = None
@@ -83,6 +84,11 @@ class _Charsmap:
             if c == 0:
                 break
             node_pos ^= c
+            # an xor landing outside the array means no child for this
+            # byte (compactly-built arrays don't allocate unreachable
+            # cells) — same outcome as a label mismatch
+            if node_pos >= n_units:
+                break
             unit = units[node_pos]
             if (unit & 0x800000FF) != c:
                 break

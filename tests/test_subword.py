@@ -217,6 +217,14 @@ def test_precompiled_charsmap_real_decoder():
     assert tok.encode_word("xabz") == [4]                   # ab  -> Y
     assert tok.encode_word("plain") == [5]                  # passthrough
 
+    # bytes with no trie cell at all (xor past the array end on a
+    # compact fixture trie) must read as "no match", never IndexError
+    from gliner_spark.kernels.subword import _Charsmap
+    from tools.spm_charsmap import build_charsmap
+
+    tiny = _Charsmap(build_charsmap({"ab": "X"}))
+    assert tiny.normalize("ÿ￿ plain") == "ÿ￿ plain"
+
 
 def test_encode_batch_over_pure_tokenizer(wp):
     """The loader plugs into the O4-O6 composition unchanged: 6-tensor
