@@ -267,6 +267,13 @@ def q_bpe_token_stats(spark, sf_dir):
     return bpe_token_stats(_documents(spark, sf_dir))
 
 
+def q_lm_score(spark, sf_dir):
+    # CCNet-style corpus-trained bigram-LM quality signal; exact oracle
+    from gliner_spark.operators.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(_documents(spark, sf_dir))
+
+
 def q_quality(spark, sf_dir):
     return quality_score(_documents(spark, sf_dir))
 
@@ -566,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "quality": q_quality,
+        "lm_score": q_lm_score,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "length_quantiles": q_length_quantiles,
@@ -620,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": oracle.token_stats_sql(),
         "bpe_token_stats": oracle.bpe_token_stats_sql(),
         "quality": oracle.quality_sql(),
+        "lm_score": oracle.lm_score_sql(),
         "lang_id": oracle.lang_id_sql(),
         "fingerprints": oracle.fingerprints_sql(),
         "length_quantiles": oracle.length_quantiles_sql(),

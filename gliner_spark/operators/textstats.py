@@ -178,3 +178,84 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         ).alias("bag_fp"),
         F.md5(F.concat_ws(" ", F.slice(w, 1, 8))).alias("prefix_fp"),
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    k_smooth: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll): per-document average negative
+    log-likelihood under an add-k-smoothed bigram LM trained on the
+    corpus itself — the CCNet-style LM quality signal (Wenzek et al.
+    2020 filter CommonCrawl by KenLM perplexity; this is the
+    dependency-free Spark-native form). High ``avg_nll`` = improbable
+    word transitions = gibberish/boilerplate candidates; filter or
+    stratify on it exactly like ``quality_score``.
+
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V), V = corpus vocabulary.
+
+    Scale shape: two count aggregations shuffle (token-keyed,
+    map-side-combined — the classic word-count plan); the count tables
+    are vocabulary-bounded, not corpus-bounded, so the scoring join
+    moves each doc's bigrams against model-sized state; the final
+    per-doc mean is one doc_id shuffle. At 10^12 docs prune the long
+    tail of the bigram table (c12 >= min_count) before the join —
+    smoothing already floors unseen mass. Pure Catalyst throughout.
+
+    Docs with < 2 tokens score NULL (no bigram evidence) with
+    n_bigrams = 0.
+    """
+    k = float(k_smooth)
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), words.alias("w")
+    )
+    # guard: sequence(0, -1) would DESCEND in Spark, not return empty
+    pairs = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("w"), i + 1).alias("w1"),
+                F.element_at(F.col("w"), i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    bi = base.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bigram_counts = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    head_counts = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = base.select(F.explode("w").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    nll = (
+        bi.join(bigram_counts, ["w1", "w2"])
+        .join(head_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (-F.log(
+                (F.col("c12") + F.lit(k))
+                / (F.col("c1") + F.lit(k) * F.col("v"))
+            )).alias("nll"),
+        )
+    )
+    per_doc = nll.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+    )
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            "avg_nll",
+        )
+    )

@@ -472,6 +472,41 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
 FROM r WHERE rank <= {k}"""
 
 
+def lm_score_sql(k_smooth: float = 0.5) -> str:
+    """Mirrors operators/textstats.bigram_lm_scores."""
+    k = float(k_smooth)
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS w
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+        FROM d)
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       FROM bi GROUP BY 1, 2),
+uc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+      FROM (SELECT unnest(w) AS t FROM d)),
+nll AS (
+  SELECT bi.doc_id,
+         -ln((bc.c12 + {k}) / (uc.c1 + {k} * v.v)) AS nll
+  FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(AVG(nll), 4) AS avg_nll
+  FROM nll GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       agg.avg_nll
+FROM d LEFT JOIN agg USING (doc_id)"""
+
+
 def token_stats_sql() -> str:
     """Mirrors operators/textstats.token_stats."""
     return """

@@ -101,6 +101,38 @@ def test_bpe_token_pattern_semantics(spark):
     assert rows[2].n_bpe == 0 and rows[2].avg_bpe_len is None
 
 
+def test_bigram_lm_scores_semantics(spark):
+    """CCNet-style LM filter signal: repeated common transitions score a
+    LOWER avg negative log-likelihood than a doc of one-off transitions;
+    sub-2-token docs carry no evidence (NULL, n_bigrams=0); and a known
+    tiny corpus matches the hand-computed add-k probability."""
+    import math
+
+    from gliner_spark.operators.textstats import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat sat"),
+            (3, "the cat sat"),
+            (4, "quux zork gleep"),   # transitions seen once, heads rare
+            (5, "solo"),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    assert rows[1].avg_nll == rows[2].avg_nll == rows[3].avg_nll
+    assert rows[4].avg_nll > rows[1].avg_nll   # gibberish is improbable
+    assert rows[5].n_bigrams == 0 and rows[5].avg_nll is None
+    assert rows[6].n_bigrams == 0 and rows[6].avg_nll is None
+    # hand-check doc 1: V = 8 distinct tokens ('' from the empty doc
+    # counts), c(the,cat)=3, c(the·)=3 -> P = (3+.5)/(3+.5*8) = .5;
+    # same for (cat,sat): avg_nll = -ln(.5)
+    assert rows[1].n_bigrams == 2
+    assert rows[1].avg_nll == round(-math.log(3.5 / 7.0), 4)
+
+
 def test_chunking_seam_property_every_offset():
     """Adversarial seam sweep: a 3-word entity (with a nested 2-word
     entity inside it — greedy must also resolve identically) slid to
