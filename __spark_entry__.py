@@ -446,6 +446,14 @@ def q_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_mixture_sample(spark, sf_dir):
+    # temperature-reweighted data mixing (n_s^alpha), deterministic
+    # md5-prefix membership; exact oracle
+    from gliner_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(_documents(spark, sf_dir))
+
+
 def q_pack_shards(spark, sf_dir):
     # per-stratum form (part_col): the cumulative window runs per lang
     # partition — the distributable plan. The global form stays opt-in
@@ -598,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stage_metrics": q_stage_metrics,
         "html_extract": q_html_extract,
         "sample_strata": q_sample,
+        "mixture_sample": q_mixture_sample,
         "pack_shards": q_pack_shards,
         "curate": q_curate,
         "skew_join": q_skew_join,
@@ -651,6 +660,7 @@ SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)
        text
 FROM documents""",
         "sample_strata": oracle.sample_sql(),
+        "mixture_sample": oracle.mixture_sample_sql(),
         "pack_shards": oracle.pack_shards_sql(part_col="lang"),
         "skew_join": """
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,

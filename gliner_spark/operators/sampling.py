@@ -88,3 +88,70 @@ def pack_shards(
     return base.withColumn(
         "shard_id", F.floor(cum_before / F.lit(token_budget)).cast("long")
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    target_frac: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-reweighted cross-source sampling — the data-MIXING
+    step of an LLM pipeline (multilingual/multi-source training sets
+    re-weight strata by ``n_s^alpha``; alpha<1 upsamples small sources
+    relative to their natural share, Conneau & Lample 2019 style).
+
+    Per stratum s: weight w_s = n_s^alpha / Σ n_s^alpha, allocation
+    keep_s = target_frac · N · w_s (capped at n_s), rate_s = keep_s/n_s
+    rounded to 6 decimals (pinning the float so both engines derive the
+    identical md5 threshold). Membership uses the same deterministic
+    md5-prefix rule as ``sample_by_hash`` — reproducible across
+    engines, re-runs and cluster layouts.
+
+    Scale shape: one count aggregation (stratum-keyed, map-side
+    combined) produces a model-sized rate table that broadcasts onto
+    the corpus scan; the keep rule is row-local. Returns
+    (doc_id, strata, rate) for audit — project rate away for the
+    training set itself.
+    """
+    counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").alias("n_total"),
+        F.sum(F.pow("n_s", F.lit(float(alpha)))).alias("z"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.round(
+            F.lit(float(target_frac)) * F.col("n_total")
+            * F.pow("n_s", F.lit(float(alpha)))
+            / F.col("z") / F.col("n_s"),
+            6,
+        ),
+    )
+    # double→bigint truncation differs across engines (Spark truncates,
+    # DuckDB rounds): floor() first so both agree
+    thr = F.when(F.col("rate") >= 1.0, F.lit("g" * 8)).otherwise(
+        F.lpad(
+            F.lower(F.hex(
+                F.floor(F.col("rate") * F.lit(float(1 << 32)))
+                .cast("bigint")
+            )),
+            8, "0",
+        )
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(strata_col, rate.alias("rate"))
+        .select(strata_col, "rate", thr.alias("thr"))
+    )
+    prefix = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return (
+        docs.join(F.broadcast(rates), strata_col)
+        .where(prefix < F.col("thr"))
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(strata_col),
+            "rate",
+        )
+    )

@@ -952,6 +952,39 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
       < CASE {cases} ELSE '{rate_to_hex(default_rate)}' END"""
 
 
+def mixture_sample_sql(
+    alpha: float = 0.7,
+    target_frac: float = 0.5,
+    strata_col: str = "source",
+) -> str:
+    """Mirrors operators/sampling.mixture_sample over documents."""
+    a, tf = float(alpha), float(target_frac)
+    return f"""
+WITH c AS (
+  SELECT {strata_col}, CAST(COUNT(*) AS BIGINT) AS n_s
+  FROM documents GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_total,
+             SUM(pow(n_s, {a})) AS z FROM c),
+r AS (
+  SELECT {strata_col},
+         LEAST(1.0, ROUND({tf} * t.n_total * pow(n_s, {a}) / t.z / n_s,
+                          6)) AS rate
+  FROM c CROSS JOIN t
+),
+rt AS (
+  SELECT {strata_col}, rate,
+         CASE WHEN rate >= 1.0 THEN 'gggggggg'
+              ELSE lpad(lower(hex(CAST(floor(rate * 4294967296.0)
+                                       AS BIGINT))), 8, '0')
+         END AS thr
+  FROM r
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.{strata_col}, rt.rate
+FROM documents d JOIN rt USING ({strata_col})
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < rt.thr"""
+
+
 def pack_shards_sql(token_budget: int = 2048,
                     part_col: str | None = "lang") -> str:
     """Mirrors operators/sampling.pack_shards. Default = the per-stratum

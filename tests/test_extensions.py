@@ -101,6 +101,41 @@ def test_bpe_token_pattern_semantics(spark):
     assert rows[2].n_bpe == 0 and rows[2].avg_bpe_len is None
 
 
+def test_mixture_sample_temperature_semantics(spark):
+    """Data mixing: alpha<1 must UPsample the small source's keep rate
+    relative to the big one's; alpha=1 keeps proportional allocation
+    (all rates == target_frac); membership is deterministic."""
+    from gliner_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "big") for i in range(900)] + \
+           [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = mixture_sample(df, alpha=0.5, target_frac=0.5)
+    rates = {r.source: r.rate
+             for r in out.select("source", "rate").distinct().collect()}
+    assert rates["small"] > 0.5 > rates["big"]  # temperature upsampling
+    # expected: w_small = sqrt(100)/Z -> allocation 1.25x its size,
+    # CAPPED at rate 1.0 (a stratum can't yield more than it has);
+    # big gets its uncapped sqrt-weighted rate
+    assert rates["small"] == 1.0
+    assert rates["big"] == pytest.approx(
+        round(500 * (900 ** 0.5) / ((900 ** 0.5) + (100 ** 0.5)) / 900,
+              6),
+        abs=1e-9,
+    )
+
+    flat = mixture_sample(df, alpha=1.0, target_frac=0.5)
+    fr = {r.source: r.rate
+          for r in flat.select("source", "rate").distinct().collect()}
+    assert fr == {"big": 0.5, "small": 0.5}
+
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in mixture_sample(
+        df, alpha=0.5, target_frac=0.5).collect())
+    assert a == b  # deterministic membership
+
+
 def test_bigram_lm_scores_semantics(spark):
     """CCNet-style LM filter signal: repeated common transitions score a
     LOWER avg negative log-likelihood than a doc of one-off transitions;
