@@ -108,14 +108,71 @@ def ngram_jaccard_dups(
     text_col: str = "text",
 ) -> DataFrame:
     """(src, dst, sim): doc pairs with word-k-gram Jaccard ≥ threshold.
-    src < dst numerically."""
-    exploded = _doc_shingle_exploded(docs, id_col, text_col, k)
-    pairs = _pair_counts(exploded, max_bucket)
-    return pairs.select(
+    src < dst numerically.
+
+    EXACT via prefix filtering (the AllPairs/PPJoin self-join —
+    Chaudhuri 2006, Bayardo 2007): with every doc's shingle set sorted
+    in ONE global order, any pair with J ≥ t must share a shingle
+    inside their ``n - ceil(t·n) + 1`` prefixes, so only prefixes are
+    indexed — at t=0.8 that's ~5× fewer index rows and ~25× fewer
+    candidate pairs than the full inverted index, with identical
+    output (candidates are then verified with the exact Jaccard; the
+    prefix property guarantees no qualifying pair is missed). The size
+    filter ``t·max(n_a,n_b) ≤ min(n_a,n_b)`` prunes inside the join
+    condition, pre-shuffle. The DuckDB oracle keeps the full-index
+    form — same result set by the filtering theorem."""
+    docs = ensure_parallelism(docs)
+    sh = docs.select(
+        F.col(id_col).cast("long").alias("sid"),
+        F.sort_array(word_shingles(F.col(text_col), k)).alias("sh"),
+    ).select("sid", "sh", F.size("sh").alias("n_sh"))
+    # ceil guard: 0.8*35 floats to 28.000000000000004 — the 1e-9 nudge
+    # keeps integral products from ceiling one too high (which would
+    # SHORTEN the prefix and break the no-miss guarantee)
+    p = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    pref = sh.select(
+        "sid", "n_sh",
+        F.explode(F.slice("sh", F.lit(1), p)).alias("shingle"),
+    )
+    bucket = (
+        pref.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where((F.col("bn") > 1) & (F.col("bn") <= max_bucket))
+        .select("shingle")
+    )
+    pruned = pref.join(bucket, "shingle")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.sid") < F.col("b.sid"))
+            & (
+                F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+                * F.lit(threshold)
+                <= F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                + F.lit(1e-9)
+            ),
+        )
+        .select(F.col("a.sid").alias("src"), F.col("b.sid").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    sh_a = sh.select(F.col("sid").alias("src"), F.col("sh").alias("sh_a"),
+                     F.col("n_sh").alias("n_a"))
+    sh_b = sh.select(F.col("sid").alias("dst"), F.col("sh").alias("sh_b"),
+                     F.col("n_sh").alias("n_b"))
+    verified = cand.join(sh_a, "src").join(sh_b, "dst")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return verified.select(
         "src",
         "dst",
         F.round(
-            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            inter / (F.col("n_a") + F.col("n_b") - inter), 6
         ).alias("sim"),
     ).where(F.col("sim") >= threshold)
 

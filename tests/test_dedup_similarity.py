@@ -137,6 +137,44 @@ def test_simhash_vectorized_vote_semantics(spark):
     assert got[3] == expect
 
 
+def test_prefix_filtered_ngram_equals_bruteforce(spark):
+    """The AllPairs prefix filter must be LOSSLESS: on corpora dense in
+    borderline pairs (many docs sharing most words, sizes straddling
+    the t·n ceiling — including sizes where t·n is integral, the float
+    ceil hazard), the filtered join equals a brute-force O(n²) Python
+    Jaccard over the same shingle sets."""
+    import itertools
+    import random
+
+    from gliner_spark.operators.dedup import ngram_jaccard_dups
+
+    rng = random.Random(3)
+    # k=1 (shingle = word) over a tiny vocabulary: dense in pairs right
+    # at the 0.8 boundary, with sizes where 0.8·n is INTEGRAL (5, 10 —
+    # the float-ceil hazard the prefix length must survive)
+    vocab = [f"w{i}" for i in range(10)]
+    docs = []
+    for i in range(40):
+        n = rng.randint(5, 10)
+        words = rng.sample(vocab, n)
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {(r.src, r.dst): r.sim
+           for r in ngram_jaccard_dups(df, k=1, threshold=0.8).collect()}
+
+    def shingles(t):
+        return set(t.split(" "))
+
+    expect = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        sim = round(len(sa & sb) / len(sa | sb), 6)
+        if sim >= 0.8:
+            expect[(min(ia, ib), max(ia, ib))] = sim
+    assert got == expect and expect  # corpus must actually contain pairs
+
+
 def test_near_dup_clusters_transitive(spark):
     """a≈b and b≈c must land in ONE cluster even when a and c are not
     themselves a pair (the pairwise output can't express this); clean
