@@ -227,7 +227,21 @@ def q_ann_topk(spark, sf_dir):
                             k=oracle.ANN_TOPK)
 
 
-def q_ann_topk_lsh(spark, sf_dir):
+def q_ann_topk_blocked(spark, sf_dir):
+    """Both blocked-ANN plans (hyperplane-LSH and IVF) under ONE gate
+    row, tagged by ``variant`` — the driver caps the correctness gate
+    at 50 queries (r4: 51 entries → exactly 50 rows, last dropped), so
+    the two variants share a slot; each still has its own pytest
+    coverage and plan assertions in tests/test_dedup_similarity.py.
+    Oracle = brute-force top-k UNION ALL'd once per tag, valid because
+    both variants are exact-by-construction at gate settings (see
+    the per-variant notes below)."""
+    lsh = _ann_lsh(spark, sf_dir).select(F.lit("lsh").alias("variant"), "*")
+    ivf = _ann_ivf(spark, sf_dir).select(F.lit("ivf").alias("variant"), "*")
+    return lsh.unionByName(ivf)
+
+
+def _ann_lsh(spark, sf_dir):
     # EXACT oracle (shares ann_topk's): 2 bits × 32 tables put the
     # per-(query, neighbor) miss probability at the observed top-5
     # cosine floor (≈0.26) near 2e-6, and candidates are exact-re-ranked
@@ -241,7 +255,7 @@ def q_ann_topk_lsh(spark, sf_dir):
     )
 
 
-def q_ann_topk_ivf(spark, sf_dir):
+def _ann_ivf(spark, sf_dir):
     # EXACT oracle (shares ann_topk's): n_probe = n_cells probes every
     # cell, so the candidate set is the full corpus BY CONSTRUCTION (not
     # just empirically) while the plan keeps the bucketed IVF shape
@@ -576,8 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_blocked": q_ann_topk_blocked,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "quality": q_quality,
@@ -599,6 +612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windows": window_combo,
         "events_cube": events_cube,
         "nation_setops": nation_setops,
+        # joins sit mid-list: the driver gate records at most 50 rows
+        # and truncates from the tail (r4: 51 entries -> 50 rows, last
+        # entry dropped), so nothing load-bearing goes last.
+        "skew_join": q_skew_join,
+        "bucketed_join": q_bucketed_join,
         "ner_mentions_chunked": q_ner_mentions_chunked,
         "ner_mentions_sorted": q_ner_mentions_sorted,
         "ner_mentions_token": q_ner_mentions_token,
@@ -609,8 +627,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pack_shards": q_pack_shards,
         "curate": q_curate,
-        "skew_join": q_skew_join,
-        "bucketed_join": q_bucketed_join,
     }
 
 
@@ -632,8 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oracle.dedup_clusters_sql(),
         "dedup_embedding": oracle.embedding_dups_sql(),
         "ann_topk": oracle.ann_topk_sql(),
-        "ann_topk_lsh": oracle.ann_topk_sql(),
-        "ann_topk_ivf": oracle.ann_topk_sql(),
+        "ann_topk_blocked": oracle.ann_topk_blocked_sql(),
         "token_stats": oracle.token_stats_sql(),
         "bpe_token_stats": oracle.bpe_token_stats_sql(),
         "quality": oracle.quality_sql(),

@@ -103,6 +103,7 @@ def connected_components_auto(
     dst: str = "dst",
     max_iters: int = 20,
     driver_threshold: int = 1_000_000,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Size-adaptive connected components.
 
@@ -118,12 +119,33 @@ def connected_components_auto(
     collect (operators/similarity.py). Above the threshold it falls
     back to the distributed hash-min iteration; the collect is a
     ``limit(threshold+1)`` so the probe itself never materializes an
-    oversized graph on the driver."""
-    rows = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).limit(driver_threshold + 1).collect()
-    if len(rows) > driver_threshold:
-        return connected_components(edges, src, dst, max_iters)
+    oversized graph on the driver.
+
+    The (possibly expensive) upstream edge plan executes ONCE either
+    way (r4 ADVICE): the probe runs against a persisted ``edges``, so
+    the distributed fallback's own materialization (its entry
+    ``localCheckpoint`` of the symmetrized edges) reads the cache
+    instead of recomputing the pair join. Callers that already know
+    the edge count can pass ``size_hint`` to skip the probe (and its
+    up-to-1M-row driver materialization) entirely."""
+    if size_hint is not None:
+        if size_hint > driver_threshold:
+            return connected_components(edges, src, dst, max_iters)
+        rows = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).collect()
+    else:
+        pinned = edges.persist()
+        try:
+            rows = pinned.select(
+                F.col(src).alias("a"), F.col(dst).alias("b")
+            ).limit(driver_threshold + 1).collect()
+            if len(rows) > driver_threshold:
+                # entry localCheckpoint of the fallback materializes
+                # from the cache; safe to release afterwards
+                return connected_components(pinned, src, dst, max_iters)
+        finally:
+            pinned.unpersist()
     parent: dict = {}
 
     def find(x):

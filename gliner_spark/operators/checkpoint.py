@@ -55,6 +55,8 @@ def _manifest_path(root: str) -> str:
 
 def read_manifest(spark: SparkSession, root: str, stage: str) -> DataFrame:
     path = _manifest_path(root)
+    if "://" not in root:  # local root: heal an interrupted compaction
+        _recover_manifest(path)
     try:
         m = spark.read.parquet(path)
     except Exception:
@@ -140,6 +142,45 @@ def checkpoint_write(
     return spark.read.parquet(out_path)
 
 
+def _recover_manifest(path: str) -> None:
+    """Heal the crash windows of ``compact_manifest``'s two-rename swap
+    (called on entry by every manifest-touching op). States:
+    - manifest present + ``.compact`` leftover → stale tmp, drop it;
+    - manifest present + ``.old`` leftover → crash after the second
+      rename, finish by dropping the trash;
+    - manifest MISSING + complete ``.compact`` → crash between the two
+      renames; the tmp was fully committed (``_SUCCESS``) before any
+      rename, so promoting it FINISHES the compaction;
+    - manifest missing + ``.old`` only (or incomplete tmp) → roll back
+      to the pre-compaction manifest."""
+    import shutil
+
+    tmp, trash = path + ".compact", path + ".old"
+    if os.path.isdir(path):
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+        return
+    if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, path)
+        shutil.rmtree(trash, ignore_errors=True)
+        return
+    if os.path.isdir(trash):
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.rename(trash, path)
+
+
+def _local_manifest_path(root: str, op: str) -> str:
+    """Compaction/recovery walk and rename the manifest with POSIX os
+    calls — local roots only (HDFS/S3 checkpoint roots are supported by
+    checkpoint_write/read, which go through Spark, but NOT by these
+    maintenance ops; at cluster scale manifest maintenance belongs to
+    the table format's own compaction). Fails fast instead of renaming
+    a literal './hdfs:/...' local path (r4 ADVICE)."""
+    from gliner_spark.operators.sinks import _local_path
+
+    return _manifest_path(_local_path(root, op))
+
+
 def compact_manifest(spark: SparkSession, root: str) -> int:
     """Rewrite the append-only manifest to a single parquet file.
 
@@ -156,12 +197,16 @@ def compact_manifest(spark: SparkSession, root: str) -> int:
     with no concurrent ``checkpoint_write`` on the same root — the swap
     is two renames, not one atomic commit (the same caveat as Hive
     compaction without a lock service; the Iceberg catalog path gets
-    this atomically via snapshot commit). Returns rows retained."""
+    this atomically via snapshot commit). A crash between the renames
+    is healed by ``_recover_manifest`` on the next manifest op (the
+    committed tmp is promoted, else ``.old`` rolls back). Local
+    filesystem roots only. Returns rows retained."""
     import shutil
 
     from pyspark.sql import Window
 
-    path = _manifest_path(root)
+    path = _local_manifest_path(root, "compact_manifest")
+    _recover_manifest(path)
     try:
         m = spark.read.parquet(path)
     except Exception:
@@ -189,8 +234,10 @@ def compact_manifest(spark: SparkSession, root: str) -> int:
 
 
 def manifest_file_count(root: str) -> int:
-    """Data files currently under the manifest dir (compaction gauge)."""
-    path = _manifest_path(root)
+    """Data files currently under the manifest dir (compaction gauge).
+    Local roots only (os.walk) — see ``_local_manifest_path``."""
+    path = _local_manifest_path(root, "manifest_file_count")
+    _recover_manifest(path)
     if not os.path.isdir(path):
         return 0
     return sum(

@@ -99,6 +99,55 @@ def _doc_shingle_exploded(docs: DataFrame, id_col: str, text_col: str,
     return sh.select("sid", "label", "n_sh", F.explode("sh").alias("shingle"))
 
 
+def _prefix_index(
+    docs: DataFrame, k: int, threshold: float, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared by ngram_jaccard_dups and its dropped-bucket audit:
+    (sorted shingle sets, exploded AllPairs prefix index)."""
+    sh = docs.select(
+        F.col(id_col).cast("long").alias("sid"),
+        F.sort_array(word_shingles(F.col(text_col), k)).alias("sh"),
+    ).select("sid", "sh", F.size("sh").alias("n_sh"))
+    # ceil guard: 0.8*35 floats to 28.000000000000004 — the 1e-9 nudge
+    # keeps integral products from ceiling one too high (which would
+    # SHORTEN the prefix and break the no-miss guarantee)
+    p = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    pref = sh.select(
+        "sid", "n_sh",
+        F.explode(F.slice("sh", F.lit(1), p)).alias("shingle"),
+    )
+    return sh, pref
+
+
+def ngram_prefix_dropped_buckets(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Number of prefix-shingle buckets ``ngram_jaccard_dups`` (same
+    parameters) would DROP under its ``max_bucket`` skew guard — the
+    lsh_dropped_buckets twin for the AllPairs index. The operator's
+    EXACT claim (and its full-index DuckDB oracle) is valid only while
+    this returns 0: each dropped bucket is a hot prefix shingle whose
+    co-occurring pairs are found only via their OTHER shared prefix
+    shingles, if any. Monitor in production before trusting the
+    prefix-filter theorem at a new scale."""
+    _, pref = _prefix_index(docs, k, threshold, id_col, text_col)
+    return (
+        pref.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") > max_bucket)
+        .count()
+    )
+
+
 def ngram_jaccard_dups(
     docs: DataFrame,
     k: int = 3,
@@ -120,24 +169,16 @@ def ngram_jaccard_dups(
     prefix property guarantees no qualifying pair is missed). The size
     filter ``t·max(n_a,n_b) ≤ min(n_a,n_b)`` prunes inside the join
     condition, pre-shuffle. The DuckDB oracle keeps the full-index
-    form — same result set by the filtering theorem."""
+    form — same result set by the filtering theorem, CONDITIONAL on
+    the ``max_bucket`` skew guard dropping nothing: a prefix shingle
+    hotter than ``max_bucket`` is skipped, so a qualifying pair whose
+    only shared prefix shingle is hot would be missed while the
+    uncapped oracle keeps it. Audit the condition with
+    ``ngram_prefix_dropped_buckets`` (same parameters) — the exactness
+    claim, and the shared oracle, hold only while it returns 0 at the
+    claimed scale (0 asserted at gate scale in tests)."""
     docs = ensure_parallelism(docs)
-    sh = docs.select(
-        F.col(id_col).cast("long").alias("sid"),
-        F.sort_array(word_shingles(F.col(text_col), k)).alias("sh"),
-    ).select("sid", "sh", F.size("sh").alias("n_sh"))
-    # ceil guard: 0.8*35 floats to 28.000000000000004 — the 1e-9 nudge
-    # keeps integral products from ceiling one too high (which would
-    # SHORTEN the prefix and break the no-miss guarantee)
-    p = (
-        F.col("n_sh")
-        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
-        + 1
-    ).cast("int")
-    pref = sh.select(
-        "sid", "n_sh",
-        F.explode(F.slice("sh", F.lit(1), p)).alias("shingle"),
-    )
+    sh, pref = _prefix_index(docs, k, threshold, id_col, text_col)
     bucket = (
         pref.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("bn"))

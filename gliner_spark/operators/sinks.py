@@ -24,8 +24,13 @@ the scan, not a post-scan filter).
 
 from __future__ import annotations
 
+import contextlib
 import os
+import shutil
+import time
+import uuid
 from typing import Sequence
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame
 
@@ -61,8 +66,34 @@ def write_table(
     w.save(target)
 
 
+def _local_path(path: str, op: str) -> str:
+    """The versioned-publish family manages its ``_CURRENT`` marker,
+    version listing, retention, and reader pins through the LOCAL
+    filesystem (os.replace / os.link give the atomicity guarantees).
+    An ``s3://``/``hdfs://`` path would silently write the marker to a
+    literal local ``./s3:/...`` directory while Spark lands the data on
+    the object store — readers on other hosts could never resolve a
+    published version. Fail fast instead; on a cluster the atomic
+    publish IS a catalog commit (``write_table(fmt="iceberg")``)."""
+    if "://" not in path:
+        return path
+    u = urlparse(path)
+    if u.scheme in ("", "file") and not u.netloc:
+        return u.path
+    raise ValueError(
+        f"{op} supports local filesystem paths only (got {path!r}): its "
+        "_CURRENT marker / retention / pins use POSIX rename+link. For "
+        f"{u.scheme}:// targets use write_table(fmt='iceberg'|'delta') — "
+        "a table-format snapshot commit is the cluster-scale equivalent."
+    )
+
+
+_PINS = "_pins"
+
+
 def publish_atomic(
-    df: DataFrame, table_dir: str, keep_versions: int = 3
+    df: DataFrame, table_dir: str, keep_versions: int = 3,
+    pin_ttl_s: float = 3600.0,
 ) -> str:
     """Publish ``df`` under ``table_dir`` so a concurrent reader NEVER
     observes a half-written table: write into a fresh versioned
@@ -78,7 +109,14 @@ def publish_atomic(
     (snapshot isolation with a bounded retention window — the
     filesystem stand-in for an Iceberg snapshot commit, which the
     ``write_table`` catalog branch provides natively at cluster scale).
-    Returns the version directory written."""
+    Retention can be as aggressive as ``keep_versions=1`` without
+    racing readers: ``read_published`` hardlink-PINS the version it
+    resolved (see below), so pruning a version's directory only drops
+    names, never the bytes an active pin still references. Pins are
+    swept here once older than ``pin_ttl_s`` (Iceberg's snapshot-
+    reference expiry analog — a reader must consume its DataFrame
+    within the TTL). Returns the version directory written."""
+    table_dir = _local_path(table_dir, "publish_atomic")
     os.makedirs(table_dir, exist_ok=True)
     versions = sorted(
         int(d[2:]) for d in os.listdir(table_dir)
@@ -91,21 +129,83 @@ def publish_atomic(
     with open(tmp, "w") as f:
         f.write(f"v={v:08d}")
     os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
-    import shutil
-
     for old in versions[:-(keep_versions - 1)] if keep_versions > 1 \
             else versions:
         shutil.rmtree(
             os.path.join(table_dir, f"v={old:08d}"), ignore_errors=True
         )
+    pins_root = os.path.join(table_dir, _PINS)
+    if os.path.isdir(pins_root):
+        cutoff = time.time() - pin_ttl_s
+        for pin in os.listdir(pins_root):
+            p = os.path.join(pins_root, pin)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass  # another sweeper removed it first
     return vdir
 
 
-def read_published(spark, table_dir: str) -> DataFrame:
-    """Resolve the ``_CURRENT`` marker and read that (complete) version."""
-    with open(os.path.join(table_dir, "_CURRENT")) as f:
-        v = f.read().strip()
-    return spark.read.parquet(os.path.join(table_dir, v))
+def _pin_version(table_dir: str) -> tuple[str, str | None]:
+    """Resolve ``_CURRENT`` and hardlink its files into a private pin
+    directory. Retries when a concurrent publish prunes the resolved
+    version mid-link (the reader then simply pins the NEWER version —
+    exactly the Iceberg re-resolve-snapshot behavior). Returns
+    (read_path, pin_dir); pin_dir is None when pinning fell back to a
+    direct read (cross-device link refusal — can't happen when pins
+    live inside table_dir, kept as a belt-and-braces fallback)."""
+    for _ in range(16):
+        with open(os.path.join(table_dir, "_CURRENT")) as f:
+            v = f.read().strip()
+        vdir = os.path.join(table_dir, v)
+        pin = os.path.join(table_dir, _PINS, f"{v}-{uuid.uuid4().hex[:8]}")
+        try:
+            os.makedirs(pin)
+            for name in os.listdir(vdir):
+                os.link(os.path.join(vdir, name), os.path.join(pin, name))
+            return pin, pin
+        except FileNotFoundError:
+            shutil.rmtree(pin, ignore_errors=True)  # pruned mid-pin: retry
+        except OSError:
+            shutil.rmtree(pin, ignore_errors=True)
+            return vdir, None
+    raise RuntimeError(
+        f"could not pin a published version under {table_dir} after 16 "
+        "attempts — publishes are outpacing the marker resolution"
+    )
+
+
+def read_published(spark, table_dir: str, pin: bool = True) -> DataFrame:
+    """Resolve the ``_CURRENT`` marker and read that (complete) version.
+
+    With ``pin=True`` (default) the resolved version's files are
+    hardlinked into ``table_dir/_pins/<version>-<token>/`` and the
+    DataFrame scans the PIN — a concurrent ``publish_atomic`` with
+    ``keep_versions=1`` can delete the version directory's names
+    without invalidating the bytes mid-scan (POSIX inode semantics).
+    The pin is swept by later publishes after their ``pin_ttl_s``;
+    use ``published_snapshot`` to release it deterministically."""
+    table_dir = _local_path(table_dir, "read_published")
+    if not pin:
+        with open(os.path.join(table_dir, "_CURRENT")) as f:
+            v = f.read().strip()
+        return spark.read.parquet(os.path.join(table_dir, v))
+    path, _ = _pin_version(table_dir)
+    return spark.read.parquet(path)
+
+
+@contextlib.contextmanager
+def published_snapshot(spark, table_dir: str):
+    """Context-managed pinned read: yields the DataFrame of the current
+    published version and releases its pin on exit (no TTL wait)."""
+    table_dir = _local_path(table_dir, "published_snapshot")
+    path, pin_dir = _pin_version(table_dir)
+    try:
+        yield spark.read.parquet(path)
+    finally:
+        if pin_dir is not None:
+            shutil.rmtree(pin_dir, ignore_errors=True)
 
 
 def materialize_kg(kg, root: str, fmt: str = "parquet") -> dict:

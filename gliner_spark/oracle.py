@@ -472,6 +472,17 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
 FROM r WHERE rank <= {k}"""
 
 
+def ann_topk_blocked_sql(query_ids=None, k: int = ANN_TOPK) -> str:
+    """Oracle for the merged blocked-ANN gate row: both variants (LSH,
+    IVF) are exact-by-construction at gate settings, so each tag's
+    rows equal the brute-force top-k."""
+    base = ann_topk_sql(query_ids, k)
+    return "\n UNION ALL \n".join(
+        f"SELECT '{tag}' AS variant, * FROM ({base})"
+        for tag in ("lsh", "ivf")
+    )
+
+
 def lm_score_sql(k_smooth: float = 0.5) -> str:
     """Mirrors operators/textstats.bigram_lm_scores."""
     k = float(k_smooth)

@@ -175,6 +175,42 @@ def test_prefix_filtered_ngram_equals_bruteforce(spark):
     assert got == expect and expect  # corpus must actually contain pairs
 
 
+def test_ngram_prefix_dropped_buckets_audit(spark):
+    """The max_bucket guard's exactness condition is CHECKABLE (r4
+    ADVICE): the audit counts hot prefix buckets the join would skip.
+    Zero on the gate corpus (so the shared full-index oracle is valid
+    there); positive — with a demonstrable missed pair — once a shared
+    prefix shingle exceeds the cap."""
+    from gliner_spark.operators.dedup import (
+        ngram_jaccard_dups,
+        ngram_prefix_dropped_buckets,
+    )
+
+    gate = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert ngram_prefix_dropped_buckets(gate, k=3, threshold=0.8) == 0
+
+    # adversarial corpus: every doc's sorted shingle set STARTS with
+    # the same hot token ("aa" sorts first). The qualifying pair
+    # (100, 101) = {aa,b,y,z} vs {aa,c,y,z}: J = 3/5 = 0.6 ≥ t, n=4 →
+    # prefix length 2 → prefixes [aa,b] and [aa,c] — their ONLY shared
+    # prefix shingle is the hot "aa", so capping its bucket misses the
+    # pair that the uncapped oracle keeps.
+    docs = [(i, "aa " + f"u{i} v{i} w{i}") for i in range(30)]
+    docs += [(100, "aa b y z"), (101, "aa c y z")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = 0.6
+    assert ngram_prefix_dropped_buckets(df, k=1, threshold=t,
+                                        max_bucket=10) > 0
+    capped = {(r.src, r.dst)
+              for r in ngram_jaccard_dups(df, k=1, threshold=t,
+                                          max_bucket=10).collect()}
+    uncapped = {(r.src, r.dst)
+                for r in ngram_jaccard_dups(df, k=1, threshold=t,
+                                            max_bucket=10_000).collect()}
+    assert (100, 101) in uncapped
+    assert capped < uncapped  # the guard really does cost pairs here
+
+
 def test_near_dup_clusters_transitive(spark):
     """a≈b and b≈c must land in ONE cluster even when a and c are not
     themselves a pair (the pairwise output can't express this); clean

@@ -118,6 +118,59 @@ def test_compact_manifest_resume_and_bounded_files(spark, tmp_path):
     assert completed_partitions(spark, root, "stage_new").count() == 8
 
 
+def test_compact_manifest_crash_recovery_and_scheme_guard(spark, tmp_path):
+    """The two-rename swap's crash windows heal on the next manifest op
+    (r4 ADVICE): a committed .compact tmp is PROMOTED (finishing the
+    compaction), an incomplete tmp rolls back to .old; object-store
+    roots fail fast instead of renaming a literal local './hdfs:/...'
+    path."""
+    import os
+    import shutil
+
+    import pytest
+
+    from gliner_spark.operators.checkpoint import (
+        checkpoint_write,
+        compact_manifest,
+        completed_partitions,
+        manifest_file_count,
+        with_part_key,
+    )
+
+    root = str(tmp_path / "root")
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("payload")
+    )
+    staged = with_part_key(docs, "doc_id", n_buckets=4)
+    for _ in range(2):
+        checkpoint_write(staged, root, "s")
+    path = os.path.join(root, "_checkpoints")
+
+    # crash BETWEEN the renames, tmp fully committed: manifest gone,
+    # .old + .compact(_SUCCESS) left behind
+    compact_manifest(spark, root)  # produces the single-file layout
+    shutil.copytree(path, path + ".compact")
+    os.rename(path, path + ".old")
+    assert not os.path.isdir(path)
+    assert completed_partitions(spark, root, "s").count() == 4  # healed
+    assert os.path.isdir(path)
+    assert not os.path.isdir(path + ".old")
+
+    # crash with an INCOMPLETE tmp (no _SUCCESS): roll back to .old
+    os.rename(path, path + ".old")
+    os.makedirs(path + ".compact")
+    with open(os.path.join(path + ".compact", "part-0.parquet"), "wb") as f:
+        f.write(b"junk")
+    assert manifest_file_count(root) == 1  # healed from .old
+    assert not os.path.isdir(path + ".compact")
+
+    for bad in ("hdfs://nn:8020/ckpt", "s3a://bucket/ckpt"):
+        with pytest.raises(ValueError, match="local filesystem"):
+            compact_manifest(spark, bad)
+        with pytest.raises(ValueError, match="local filesystem"):
+            manifest_file_count(bad)
+
+
 def test_publish_atomic_reader_never_sees_partial(spark, tmp_path):
     """Versioned publish: while a publisher repeatedly republishes, a
     concurrent reader resolving the _CURRENT pointer always reads one
@@ -129,13 +182,12 @@ def test_publish_atomic_reader_never_sees_partial(spark, tmp_path):
 
     out = str(tmp_path / "pub")
     sizes = [100, 230, 370, 510]
-    # retention disabled for the concurrency phase: the atomicity
-    # property under test is the pointer flip. Retention raciness is a
-    # SEPARATE, documented property — a reader that stalls across
-    # keep_versions consecutive publishes can lose its files, exactly
-    # like Iceberg snapshot expiry with an in-flight scan — and is
-    # checked sequentially below.
-    publish_atomic(spark.range(sizes[0]), out, keep_versions=100)
+    # retention at its most aggressive — every publish prunes ALL older
+    # versions. Readers survive because read_published hardlink-PINS
+    # the version it resolved: pruning drops directory names, not the
+    # inodes an active pin references (r4 ADVICE retention race, now
+    # closed by version-pinned reads).
+    publish_atomic(spark.range(sizes[0]), out, keep_versions=1)
 
     seen, errors = [], []
     stop = threading.Event()
@@ -144,14 +196,14 @@ def test_publish_atomic_reader_never_sees_partial(spark, tmp_path):
         while not stop.is_set():
             try:
                 seen.append(read_published(spark, out).count())
-            except Exception as e:  # a partial table would land here
+            except Exception as e:  # a partial/pruned table lands here
                 errors.append(repr(e))
 
     t = threading.Thread(target=reader)
     t.start()
     try:
         for n in sizes[1:]:
-            publish_atomic(spark.range(n), out, keep_versions=100)
+            publish_atomic(spark.range(n), out, keep_versions=1)
     finally:
         stop.set()
         t.join()
@@ -187,6 +239,46 @@ def test_publish_atomic_crash_orphan_is_harmless(spark, tmp_path):
     vdir = publish_atomic(spark.range(75), out)
     assert vdir.endswith("v=00000002")  # orphan's number not reused
     assert read_published(spark, out).count() == 75
+
+
+def test_publish_atomic_pin_lifecycle_and_scheme_guard(spark, tmp_path):
+    """Pins: published_snapshot releases its pin deterministically;
+    unreleased read_published pins are swept by a later publish once
+    past pin_ttl_s; object-store paths fail fast (r4 ADVICE: the
+    _CURRENT marker would otherwise land on the driver's local disk
+    while data goes to the store — silent split-brain)."""
+    import os
+
+    import pytest
+
+    from gliner_spark.operators.sinks import (
+        publish_atomic,
+        published_snapshot,
+        read_published,
+    )
+
+    out = str(tmp_path / "pub")
+    publish_atomic(spark.range(20), out, keep_versions=1)
+    pins = os.path.join(out, "_pins")
+    with published_snapshot(spark, out) as df:
+        assert df.count() == 20
+        assert len(os.listdir(pins)) == 1  # pinned while in scope
+    assert os.listdir(pins) == []  # released on exit
+    # an unreleased pin survives an immediate publish (ttl not reached)
+    assert read_published(spark, out).count() == 20
+    assert len(os.listdir(pins)) == 1
+    publish_atomic(spark.range(30), out, keep_versions=1, pin_ttl_s=3600)
+    assert len(os.listdir(pins)) == 1
+    # ...and is swept once past the TTL
+    publish_atomic(spark.range(40), out, keep_versions=1, pin_ttl_s=0.0)
+    assert os.listdir(pins) == []
+    for bad in ("s3://bucket/kg_out", "hdfs://nn:8020/kg"):
+        with pytest.raises(ValueError, match="local filesystem"):
+            publish_atomic(spark.range(1), bad)
+        with pytest.raises(ValueError, match="local filesystem"):
+            read_published(spark, bad)
+    # file:// URIs are local: accepted and equivalent to the plain path
+    assert read_published(spark, f"file://{out}").count() == 40
 
 
 def test_incremental_merge_equals_from_scratch(spark, tmp_path):
