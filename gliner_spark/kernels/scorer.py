@@ -165,21 +165,36 @@ class OnnxScorer:
             # that requested a GPU must never silently get a CPU session
             sess = OnnxScorer._sessions.get(self.model_path)
         if sess is None:
-            import onnxruntime as ort  # guarded: not in sandbox
+            try:
+                import onnxruntime as ort  # preferred when present
 
-            opts = ort.SessionOptions()
-            opts.intra_op_num_threads = 1
-            if self.device_id >= 0:
-                # CUDA EP with CPU fallback, per model.cpp:71-77
-                providers = [
-                    ("CUDAExecutionProvider", {"device_id": self.device_id}),
-                    "CPUExecutionProvider",
-                ]
-            else:
-                providers = ["CPUExecutionProvider"]
-            sess = ort.InferenceSession(
-                self.model_path, opts, providers=providers
-            )
+                opts = ort.SessionOptions()
+                opts.intra_op_num_threads = 1
+                if self.device_id >= 0:
+                    # CUDA EP with CPU fallback, per model.cpp:71-77
+                    providers = [
+                        ("CUDAExecutionProvider",
+                         {"device_id": self.device_id}),
+                        "CPUExecutionProvider",
+                    ]
+                else:
+                    providers = ["CPUExecutionProvider"]
+                sess = ort.InferenceSession(
+                    self.model_path, opts, providers=providers
+                )
+            except ImportError:
+                # no wheel: the bundled numpy executor parses and runs
+                # the model file for real (small graphs only; it raises
+                # NotImplementedError naming any op it lacks, so a full
+                # transformer export fails loudly, never silently wrong)
+                if self.device_id >= 0:
+                    raise RuntimeError(
+                        "CUDA execution requires onnxruntime; the "
+                        "bundled MiniOnnxSession is CPU-only"
+                    )
+                from .onnx_rt import MiniOnnxSession
+
+                sess = MiniOnnxSession(self.model_path)
             OnnxScorer._sessions[key] = sess
         return sess
 
@@ -264,16 +279,17 @@ def make_scorer(
     tokenizer_path: str | None = None,
     device_id: int = -1,
 ):
-    """ONNX when configured & importable, surrogate otherwise.
-    ``device_id >= 0`` routes to the CUDA EP (model.cpp:71-77)."""
-    if model_path and tokenizer_path:
-        try:
-            import onnxruntime  # noqa: F401
+    """ONNX when a model is configured, surrogate otherwise.
+    ``device_id >= 0`` routes to the CUDA EP (model.cpp:71-77).
 
-            return OnnxScorer(model_path, tokenizer_path, max_width,
-                              device_id=device_id)
-        except ImportError:
-            pass
+    A configured model is honored even without the onnxruntime wheel:
+    ``OnnxScorer`` then executes the file with the bundled
+    ``MiniOnnxSession`` (kernels/onnx_rt.py), which fails LOUDLY on ops
+    it lacks — silently swapping a user-configured model for the
+    surrogate would fabricate results."""
+    if model_path and tokenizer_path:
+        return OnnxScorer(model_path, tokenizer_path, max_width,
+                          device_id=device_id)
     return SurrogateScorer(max_width)
 
 

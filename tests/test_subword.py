@@ -238,9 +238,10 @@ def test_encode_batch_over_pure_tokenizer(wp):
     row = enc.input_ids[0]
     # prompt: <<ENT>>/<<SEP>> hit the ADDED-TOKEN vocabulary (single
     # ids 30/31, the GLiNER prompt-marker rule — matched on raw input
-    # before normalization), "city" -> UNK;
-    # layout: BOS, 30, UNK, 31, un, ##aff, ##able, world, EOS
-    assert row[:9].tolist() == [1, 30, 1, 31, 4, 5, 6, 11, 2]
+    # before normalization), "city" -> 22 (in-vocab since the tiny-ONNX
+    # graph needs distinct label-name ids);
+    # layout: BOS, 30, city, 31, un, ##aff, ##able, world, EOS
+    assert row[:9].tolist() == [1, 30, 22, 31, 4, 5, 6, 11, 2]
     assert enc.attention_mask[0, :9].tolist() == [1] * 9
     wm = enc.words_mask[0]
     assert wm[4] == 1 and wm[7] == 2  # first subword of each text word
