@@ -37,23 +37,15 @@ SCALING_N = int(os.environ.get("BENCH_SCALING_N", "2"))
 # parallelism levels
 SCALING_PAGES = int(os.environ.get("BENCH_SCALING_PAGES", "500000"))
 
-HEADLINE = [
-    "ner_mentions",
-    "ner_triples",
-    "kg_edges",
-    "kg_nodes",
-    "dedup_ngram",
-    "dedup_minhash",
-    "dedup_simhash",
-    "ann_topk",
-    "token_stats",
-    "quality",
-    "lang_id",
-    "fingerprints",
-    "sessionize",
-    "hourly_rollup",
-    "mm_meta",
-]
+def headline_queries() -> list[str]:
+    """The FULL driver query surface, in queries() order — every
+    operator the correctness gate checks is also timed, so a perf
+    regression in any of them is visible round-over-round (VERDICT r4
+    #4; before r5 only 16 legacy queries were timed)."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry_mod
+
+    return list(entry_mod.queries())
 
 SCALING_QUERY = "kg_pipeline"  # flagship job on the sf dir
 SCALE_JOB = "kg_scale_job"     # same job shape, synthetic corpus at size
@@ -113,19 +105,25 @@ def run_worker(cores: int, sf_dir: str, names: list[str]) -> dict:
     special = {SCALING_QUERY: kg_pipeline, SCALE_JOB: scale_pipeline}
     for name in names:
         df_fn = special.get(name) or (lambda n=name: qs[n](spark, sf_dir))
-        if name != SCALE_JOB:
-            _noop_write(df_fn())  # warm execution (JIT/codegen/shuffle
-            # service) — timed numbers are steady-state
-        # min of two timed runs for EVERY query: single runs swing
-        # ±25% (sometimes 2-3× under ambient co-tenant load on this
-        # container's shared CPUs); min-of-two is the stable estimator
-        times = []
-        for _ in range(2):
-            _cleanup()
-            t0 = time.monotonic()
-            _noop_write(df_fn())
-            times.append(time.monotonic() - t0)
-        out["queries"][name] = round(min(times), 3)
+        try:
+            if name != SCALE_JOB:
+                _noop_write(df_fn())  # warm execution (JIT/codegen/
+                # shuffle service, and one-time side outputs: the
+                # bucketed-table write, checkpoint manifests) — timed
+                # numbers are steady-state
+            # min of two timed runs for EVERY query: single runs swing
+            # ±25% (sometimes 2-3× under ambient co-tenant load on this
+            # container's shared CPUs); min-of-two is the stable
+            # estimator
+            times = []
+            for _ in range(2):
+                _cleanup()
+                t0 = time.monotonic()
+                _noop_write(df_fn())
+                times.append(time.monotonic() - t0)
+            out["queries"][name] = round(min(times), 3)
+        except Exception as e:  # one broken query must not sink the run
+            out.setdefault("errors", {})[name] = repr(e)[:300]
 
     if SCALING_QUERY in names:
         out["counts"]["pages"] = pages_from_documents(spark, sf_dir).count()
@@ -232,7 +230,7 @@ def main() -> None:
         print(json.dumps(out))
         return
 
-    headline = _spawn(CPUS, HEADLINE + [SCALING_QUERY])
+    headline = _spawn(CPUS, headline_queries() + [SCALING_QUERY])
     queries = headline["queries"]
     total = round(sum(queries.values()), 3)
     n_pages = headline["counts"]["pages"]
@@ -315,6 +313,8 @@ def main() -> None:
         },
         "parity": parity,
     }
+    if headline.get("errors"):
+        result["errors"] = headline["errors"]
     if salt_probe is not None:
         result["salt_probe"] = salt_probe
     _write_bench_md(result)

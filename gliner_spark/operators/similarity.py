@@ -21,6 +21,7 @@ orders.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -87,25 +88,38 @@ def _planes(dim: int, n_bits: int, table: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_bits, dim))
 
 
-def _bucket_expr(vec_col, planes: np.ndarray):
-    """Sign-bit bucket key for one LSH table — pure SQL expressions:
-    bit_i = (Σ_j v_j · p_ij) > 0, key = Σ bit_i · 2^i."""
-    bits = []
-    for i, row in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(c)) for c in row]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def _bucket_keys_udf(dim: int, n_bits: int, n_tables: int, seed: int):
+    """ALL tables' sign-bucket keys (bit_i = v·p_i > 0, key = Σ bit·2^i)
+    in one Arrow-batched matmul: (batch, dim) @ (dim, tables·bits).
+
+    Replaces a pure-Catalyst zip_with/aggregate form whose expression
+    tree held one literal per plane coefficient — at 48 tables × 3 bits
+    × 64 dims that was ~9k literals and measured **32 s of driver-side
+    py4j plan construction per invocation** (the dominant cost of
+    dedup_embedding at sf0.1), before any execution. The matmul
+    computes identical keys with a constant-size plan and one
+    vectorized kernel per batch — the legitimate use of a Pandas UDF:
+    the built-in expression exists but degenerates at this operand
+    count. (pandas_udf creation needs a live session, hence the
+    factory.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.stack(
+        [_planes(dim, n_bits, t, seed) for t in range(n_tables)]
+    )  # (T, bits, dim)
+    mat = planes.reshape(n_tables * n_bits, dim).T.copy()
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def keys(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(e, dtype=np.float64) for e in v])
+        bits = (x @ mat) > 0  # (n, T·bits)
+        k = (bits.reshape(len(x), n_tables, n_bits) * weights).sum(axis=2)
+        return pd.Series(list(k.astype(np.int32)))
+
+    return keys
 
 
 def hyperplane_lsh_topk(
@@ -131,36 +145,39 @@ def hyperplane_lsh_topk(
         F.col(id_col).cast("long").alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("v"),
     )
+    keys = _bucket_keys_udf(dim, n_bits, n_tables, seed)
+    # ids only through the explode/join/dedup shuffles — vectors join
+    # back AFTER the candidate set is deduped (pairs are 16 bytes, a
+    # 64-dim vector is 512: carrying vectors through the n_tables-fold
+    # candidate multiset multiplies shuffle volume ~30×)
     buckets = corpus.select(
         "neighbor_id",
-        "v",
-        F.posexplode(
-            F.array(
-                *[
-                    _bucket_expr(F.col("v"), _planes(dim, n_bits, t, seed))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tbl", "bucket"),
+        F.posexplode(keys(F.col("v"))).alias("tbl", "bucket"),
     )
     q_buckets = F.broadcast(
         buckets.where(F.col("neighbor_id").isin(list(query_ids))).select(
-            F.col("neighbor_id").alias("query_id"),
-            F.col("v").alias("q"),
-            "tbl",
-            "bucket",
+            F.col("neighbor_id").alias("query_id"), "tbl", "bucket"
         )
     )
     cand = (
         buckets.join(q_buckets, ["tbl", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q", "neighbor_id", "v")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_expr(F.col("q"), F.col("v")), 6).alias("sim"),
+    q_vecs = F.broadcast(
+        corpus.where(F.col("neighbor_id").isin(list(query_ids))).select(
+            F.col("neighbor_id").alias("query_id"), F.col("v").alias("q")
+        )
+    )
+    scored = (
+        cand.join(corpus, "neighbor_id")
+        .join(q_vecs, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q"), F.col("v")), 6).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -343,17 +360,14 @@ def embedding_dup_pairs_lsh(
         F.col(id_col).cast("long").alias("nid"),
         _as_double(F.col(vec_col)).alias("v"),
     )
+    keys = _bucket_keys_udf(dim, n_bits, n_tables, seed)
+    # ids only through the explode/self-join/dedup (the candidate
+    # multiset is ~n_tables-fold redundant before dedup — carrying the
+    # 64-dim vectors through it multiplied shuffle bytes ~30× and was,
+    # with the old per-literal bucket expressions, the bulk of an 87 s
+    # sf0.1 runtime; vectors join back once per DEDUPED pair)
     buckets = corpus.select(
-        "nid",
-        "v",
-        F.posexplode(
-            F.array(
-                *[
-                    _bucket_expr(F.col("v"), _planes(dim, n_bits, t, seed))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tbl", "bucket"),
+        "nid", F.posexplode(keys(F.col("v"))).alias("tbl", "bucket")
     )
     guard = (
         buckets.groupBy("tbl", "bucket")
@@ -371,16 +385,18 @@ def embedding_dup_pairs_lsh(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.nid") < F.col("b.nid")),
         )
-        .select(
-            F.col("a.nid").alias("src"),
-            F.col("b.nid").alias("dst"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
-    return cand.select(
-        "src",
-        "dst",
-        F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("sim"),
-    ).where(F.col("sim") >= threshold)
+    va = corpus.select(F.col("nid").alias("src"), F.col("v").alias("va"))
+    vb = corpus.select(F.col("nid").alias("dst"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "src")
+        .join(vb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
