@@ -115,7 +115,9 @@ _NP_TO_DT = {np.dtype(np.float32): 1, np.dtype(np.int32): 6,
 
 
 def tensor_to_bytes(name: str, arr: np.ndarray) -> bytes:
-    arr = np.ascontiguousarray(arr)
+    # NOT ascontiguousarray: that promotes 0-d scalars to shape (1,);
+    # tobytes() below handles non-contiguous layouts by itself
+    arr = np.asarray(arr)
     dt = _NP_TO_DT[arr.dtype]
     out = b"".join(_int_field(1, d) for d in arr.shape)
     out += _int_field(2, dt)

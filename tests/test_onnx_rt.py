@@ -88,6 +88,40 @@ def test_mini_session_executes_and_validates_feeds():
         sess.run(["nope"], {"x": x})
 
 
+def test_tensor_codec_roundtrip_property():
+    """Property: any tensor of the supported dtypes survives
+    serialize→parse bit-exactly, any shape including 0-d and empty."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import array_shapes, arrays
+
+    from gliner_spark.kernels.onnx_rt import (
+        tensor_from_bytes,
+        tensor_to_bytes,
+    )
+
+    dtypes = st.sampled_from([np.float32, np.float64, np.int32, np.int64,
+                              np.bool_])
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        dt=dtypes,
+        data=st.data(),
+    )
+    def check(dt, data):
+        shape = data.draw(array_shapes(min_dims=0, max_dims=3, min_side=0,
+                                       max_side=5))
+        arr = data.draw(arrays(dt, shape,
+                               elements={"allow_nan": False}
+                               if dt in (np.float32, np.float64) else None))
+        name, back = tensor_from_bytes(tensor_to_bytes("t", arr))
+        assert name == "t"
+        assert back.dtype == arr.dtype and back.shape == arr.shape
+        np.testing.assert_array_equal(back, arr)
+
+    check()
+
+
 def test_unsupported_op_raises_by_name():
     data = serialize_model(
         nodes=[("LSTM", ["x"], ["y"], None)],
