@@ -131,3 +131,58 @@ def test_from_pretrained_model_dir(tmp_path):
     (d3 / "gliner_config.json").write_text("{}")
     with pytest.raises(FileNotFoundError):
         GlinerModel.from_pretrained(str(d3))
+
+
+def test_from_pretrained_real_onnx_export_dir(tmp_path, spark):
+    """The reference README's consumption flow with REAL files and zero
+    mocks: a model directory (gliner_config.json + tokenizer.json +
+    onnx/model.onnx) where model.onnx is a genuine protobuf built by
+    kernels/onnx_rt, executed by the bundled numpy session inside
+    OnnxScorer — local inference() AND the Spark inference_df() path
+    both reproduce the Kyiv golden from the export dir alone."""
+    import json
+    import os
+    import shutil
+
+    from gliner_spark.kernels.onnx_rt import build_tiny_gliner_model
+
+    d = tmp_path / "export"
+    os.makedirs(d / "onnx")
+    build_tiny_gliner_model(
+        str(d / "onnx" / "model.onnx"),
+        word_entries={9: (0, 0.9), 17: (1, 0.9)},  # kyiv, ukraine (WP ids)
+        label_ids={22: 0, 23: 1},                  # city, country
+        ent_token_id=30,
+        vocab_size=32,
+    )
+    shutil.copy(
+        os.path.join(os.path.dirname(__file__), "fixtures",
+                     "wordpiece_tokenizer.json"),
+        d / "tokenizer.json",
+    )
+    with open(d / "gliner_config.json", "w") as f:
+        json.dump({"max_width": 12, "max_len": 512, "span_mode": "span"}, f)
+
+    model = GlinerModel.from_pretrained(str(d))
+    out = model.inference(
+        ["Kyiv is the capital of Ukraine."], ["city", "country"]
+    )
+    assert [(s[0], s[1], s[2], s[3], round(s[4], 4)) for s in out[0]] == [
+        (0, 4, "Kyiv", "city", 0.9),
+        (23, 30, "Ukraine", "country", 0.9),
+    ]
+
+    docs = spark.createDataFrame(
+        [("a", "Kyiv is the capital of Ukraine."), ("b", "hello world")],
+        "doc_id string, text string",
+    )
+    rows = sorted(
+        tuple(r)
+        for r in model.inference_df(
+            docs, ["city", "country"], id_col="doc_id"
+        ).collect()
+    )
+    assert rows == [
+        ("a", 0, 4, "Kyiv", "city", 0.9),
+        ("a", 23, 30, "Ukraine", "country", 0.9),
+    ]
