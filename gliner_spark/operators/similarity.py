@@ -150,10 +150,13 @@ def hyperplane_lsh_topk(
     # back AFTER the candidate set is deduped (pairs are 16 bytes, a
     # 64-dim vector is 512: carrying vectors through the n_tables-fold
     # candidate multiset multiplies shuffle volume ~30×)
+    # materialized once: referenced by both the corpus side and the
+    # query-side filter (two scan + keys-UDF passes otherwise); holds
+    # (id, tbl, bucket) ints only
     buckets = corpus.select(
         "neighbor_id",
         F.posexplode(keys(F.col("v"))).alias("tbl", "bucket"),
-    )
+    ).localCheckpoint()
     q_buckets = F.broadcast(
         buckets.where(F.col("neighbor_id").isin(list(query_ids))).select(
             F.col("neighbor_id").alias("query_id"), "tbl", "bucket"
@@ -356,7 +359,11 @@ def embedding_dup_pairs_lsh(
     exact SQL oracle stays valid with wide margin even if the gate
     corpus grows. ``max_bucket`` bounds pathological buckets the same
     way the MinHash band join does."""
-    corpus = embeddings.select(
+    from .util import ensure_parallelism
+
+    # a small local parquet arrives as ONE split; without this the
+    # candidate join (n_tables-fold multiset) runs single-threaded
+    corpus = ensure_parallelism(embeddings).select(
         F.col(id_col).cast("long").alias("nid"),
         _as_double(F.col(vec_col)).alias("v"),
     )
@@ -366,9 +373,14 @@ def embedding_dup_pairs_lsh(
     # 64-dim vectors through it multiplied shuffle bytes ~30× and was,
     # with the old per-literal bucket expressions, the bulk of an 87 s
     # sf0.1 runtime; vectors join back once per DEDUPED pair)
+    # materialize ONCE: the bucket table is referenced four times in
+    # the plan (self-join a/b sides + the guard aggregation) and would
+    # otherwise re-run the scan + keys UDF per reference; it holds only
+    # (id, tbl, bucket) ints — signature-sized, never document-sized —
+    # so this is the cheap side to pin at any corpus scale
     buckets = corpus.select(
         "nid", F.posexplode(keys(F.col("v"))).alias("tbl", "bucket")
-    )
+    ).localCheckpoint()
     guard = (
         buckets.groupBy("tbl", "bucket")
         .agg(F.count(F.lit(1)).alias("bn"))
