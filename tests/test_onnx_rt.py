@@ -239,3 +239,25 @@ def test_token_path_feed_contract_through_real_graph(tmp_path):
         == [(0, 4, "Kyiv", "city", 0.9),
             (23, 30, "Ukraine", "country", 0.9)]
     assert decode_token_logits(out[2], toks[2], texts[2], labels) == []
+
+def test_session_cache_and_device_guard(tmp_path):
+    """O16 evidence (session/device mgmt): sessions cache per
+    (model, device) key — a second scorer for the same model reuses the
+    parsed session object; device_id >= 0 without onnxruntime raises
+    the documented CPU-only error instead of silently degrading
+    (the CUDA EP itself needs the wheel — model.cpp:71-77)."""
+    from gliner_spark.kernels.scorer import OnnxScorer
+
+    path = _build(tmp_path)
+    a = OnnxScorer(path, WP, max_width=12)
+    b = OnnxScorer(path, WP, max_width=12)
+    try:
+        assert a._session() is b._session()  # per-process cache hit
+        gpu = OnnxScorer(path, WP, max_width=12, device_id=0)
+        with pytest.raises(RuntimeError, match="CPU-only"):
+            gpu._session()
+        # and the failed GPU attempt must NOT have poisoned the cache
+        # with a CPU session under the GPU key
+        assert f"{path}@0" not in OnnxScorer._sessions
+    finally:
+        OnnxScorer._sessions.pop(f"{path}@-1", None)
