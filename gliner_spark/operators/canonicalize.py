@@ -270,16 +270,19 @@ def connected_components_star(
     Returns (node, component) with component = min node id.
     """
     e = _symmetric(edges, src, dst).localCheckpoint()
+    n = e.count()
     for _ in range(max_iters):
         e2 = _small_star(_large_star(e)).localCheckpoint()
-        # converged when the star transform is a fixpoint
-        if (
-            e2.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(e2).limit(1).count() == 0
-        ):
+        n2 = e2.count()
+        # fixpoint check, cheapest-first: counts (an action over the
+        # just-checkpointed partitions, no shuffle) gate the single
+        # exceptAll — for multisets of EQUAL size, e2 ⊆ e implies
+        # e ⊆ e2, so one direction suffices (was two exceptAll joins
+        # per round, the dominant fixed cost at small graph sizes)
+        if n2 == n and e2.exceptAll(e).limit(1).count() == 0:
             e = e2
             break
-        e = e2
+        e, n = e2, n2
     # e is now (almost-)star-shaped: node → its component min, plus the
     # roots themselves; resolve one more min per node for safety
     comp = e.groupBy("u").agg(F.min("v").alias("component"))
