@@ -174,3 +174,176 @@ def merge_kg_batch(
         )
     )
     return KgResult(mentions, triples, nodes, edges)
+
+
+def batch_minhash_signatures(
+    docs: DataFrame,
+    k: int = 3,
+    n_perms: int = 128,
+    seed: int = 11,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig array<long>): the fixed-width MinHash signature of
+    each document — the only state ``dedup_admit_batch`` ever persists
+    per admitted doc. Band keys are DERIVED from the signature, so the
+    store needs no shingles, no text, no band columns."""
+    from ..operators.dedup import word_shingles
+    from ..operators.linking import hash_shingles, minhash_signature_agg
+    from ..operators.util import ensure_parallelism
+
+    hashed = ensure_parallelism(docs).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(hash_shingles(word_shingles(F.col(text_col), k))).alias("h"),
+    )
+    return minhash_signature_agg(hashed, ["doc_id"], n_perms, seed)
+
+
+def _band_keys(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
+    return sig_df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice(F.col("sig"), i * rows + 1, rows)),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def dedup_admit_batch(
+    new_docs: DataFrame,
+    store_dir: str,
+    k: int = 3,
+    n_perms: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    max_bucket: int = 2000,
+    seed: int = 11,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Admit a new crawl batch against an append-only MinHash signature
+    store — the incremental form of ``minhash_dups`` + keeper choice.
+
+    At 10^12 admitted documents a new batch must not re-read, let alone
+    re-shingle, the corpus. The store persists ONE fixed-width
+    signature row per admitted doc (``batch_minhash_signatures``);
+    admitting a batch is then:
+
+    1. signature the new batch (the only pass over its text);
+    2. band-join new-batch band keys against the STORE's (new-vs-old)
+       and against themselves (new-vs-new) — both shuffles move
+       (id, band) ints, never documents;
+    3. verify candidates with the signature-overlap estimator
+       Ĵ = |matching positions| / n_perms. The corpus text is
+       unreachable by design, so verification is estimator-based, NOT
+       exact like the batch operator's shingle re-join: E[Ĵ] = J with
+       σ = sqrt(J(1-J)/n_perms) ≈ 0.035 at J = t = 0.8, n_perms = 128
+       — set ``threshold`` with that margin in mind (exact-duplicate
+       detection, Ĵ = 1, is unaffected);
+    4. keep = not Ĵ-matched to any admitted doc, and the minimum
+       doc_id of its new-vs-new duplicate component (transitive, via
+       the size-adaptive connected components);
+    5. append the KEPT docs' signatures to the store.
+
+    Returns (doc_id, dup_of, keep) for the new batch: ``dup_of`` is
+    the admitted doc (or kept smaller new doc) that suppressed it,
+    NULL for keepers. The store write is plain parquet append — wrap
+    calls in the checkpoint manifest (``checkpoint_write``) when
+    retries must be idempotent, exactly like merge_batch above."""
+    from ..operators.canonicalize import connected_components_auto
+
+    spark = new_docs.sparkSession
+    rows = n_perms // bands
+    assert bands * rows == n_perms
+
+    sig_new = batch_minhash_signatures(
+        new_docs, k, n_perms, seed, id_col, text_col
+    ).localCheckpoint()  # referenced by band join, verify, store append
+    try:
+        sig_old = spark.read.parquet(store_dir).select("doc_id", "sig")
+    except Exception:  # first batch: empty store
+        sig_old = spark.createDataFrame(
+            [], "doc_id long, sig array<bigint>"
+        )
+
+    bn = _band_keys(sig_new, bands, rows)
+    bo = _band_keys(sig_old, bands, rows)
+
+    jhat = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda b: b))
+        / F.lit(float(n_perms)), 6,
+    )
+
+    def verify(cand: DataFrame, left_sig: DataFrame,
+               right_sig: DataFrame) -> DataFrame:
+        a = left_sig.select(F.col("doc_id").alias("src"),
+                            F.col("sig").alias("sig_a"))
+        b = right_sig.select(F.col("doc_id").alias("dst"),
+                             F.col("sig").alias("sig_b"))
+        return (
+            cand.join(a, "src").join(b, "dst")
+            .select("src", "dst", jhat.alias("jhat"))
+            .where(F.col("jhat") >= threshold)
+        )
+
+    guard = lambda df: (  # noqa: E731 — shared mega-bucket skew guard
+        df.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") <= max_bucket)
+        .select("band_idx", "band_hash")
+    )
+
+    # the skew guard sees combined bucket populations (a band bucket
+    # hot across store+batch is hot, whichever side the rows are on)
+    g = guard(bn.unionByName(bo))
+    bnp = bn.join(g, ["band_idx", "band_hash"])
+
+    # new-vs-old: every band collision against the store
+    no_cand = (
+        bnp.join(bo.select("band_idx", "band_hash",
+                           F.col("doc_id").alias("old_id")),
+                 ["band_idx", "band_hash"])
+        .select(F.col("doc_id").alias("src"), F.col("old_id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    vs_old = verify(no_cand, sig_new, sig_old) \
+        .groupBy("src").agg(F.min("dst").alias("old_dup_of"))
+
+    # new-vs-new: self-join within the batch (same pruned band keys)
+    a, b = bnp.alias("a"), bnp.alias("b")
+    nn_cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    vs_new = verify(nn_cand, sig_new, sig_new)
+    comp = connected_components_auto(vs_new, "src", "dst").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("new_group")
+    )
+
+    verdict = (
+        sig_new.select("doc_id")
+        .join(vs_old, sig_new.doc_id == vs_old.src, "left").drop("src")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "old_dup_of",
+                F.when(F.col("new_group") != F.col("doc_id"),
+                       F.col("new_group")),
+            ).alias("dup_of"),
+        )
+        .withColumn("keep", F.col("dup_of").isNull())
+    ).localCheckpoint()  # pin BEFORE the store append below reads it
+
+    sig_new.join(verdict.where("keep").select("doc_id"), "doc_id") \
+        .write.mode("append").parquet(store_dir)
+    return verdict

@@ -573,3 +573,58 @@ def test_checkpoint_partial_resume(spark, tmp_path):
     # 4 manifest rows from the first write + 4 from the second (not 8)
     assert m.count() == 8
     assert set(r.part_key for r in m.collect()) == {str(i) for i in range(8)}
+
+
+def test_dedup_admit_batch_incremental_store(spark, tmp_path):
+    """Incremental dedup against the signature store: a new crawl batch
+    dedups against everything ever admitted WITHOUT touching corpus
+    text (signatures only), transitively within the batch, and the
+    store grows by exactly the keepers. Exact duplicates have identical
+    signatures (estimator Ĵ = 1), so verdicts here are deterministic."""
+    from pyspark.sql import functions as F
+
+    from gliner_spark.plans.incremental import dedup_admit_batch
+
+    store = str(tmp_path / "sig_store")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # four distinct trailing words per doc: k=3 shingles share only the
+    # 8 prefix shingles -> J = 0.5 between distinct docs, well under
+    # the 0.8 threshold (one differing word would give J = 0.8 exactly)
+    mk = lambda i: (i, f"{base} d{i}a d{i}b d{i}c d{i}d")  # noqa: E731
+    txt = lambda i: mk(i)[1]  # noqa: E731
+
+    # batch A: 5 distinct docs + one exact dup of doc 1
+    a_rows = [mk(i) for i in range(1, 6)] + [(11, txt(1))]
+    A = spark.createDataFrame(a_rows, "doc_id long, text string")
+    va = {r.doc_id: (r.dup_of, r.keep)
+          for r in dedup_admit_batch(A, store).collect()}
+    assert va[11] == (1, False)  # exact dup of admitted doc 1
+    assert all(va[i] == (None, True) for i in range(1, 6))
+    n_store = spark.read.parquet(store).count()
+    assert n_store == 5  # keepers only
+
+    # batch B: dup-of-old, new-new dup pair, and a fresh doc
+    b_rows = [(20, txt(3)),                # exact dup of OLD doc 3
+              mk(21),                      # new, kept
+              (22, txt(21)),               # exact dup of NEW doc 21
+              mk(23)]                      # fresh
+    B = spark.createDataFrame(b_rows, "doc_id long, text string")
+    vb = {r.doc_id: (r.dup_of, r.keep)
+          for r in dedup_admit_batch(B, store).collect()}
+    assert vb[20] == (3, False)   # suppressed by the STORE, not batch
+    assert vb[21] == (None, True)
+    assert vb[22] == (21, False)  # suppressed within the batch
+    assert vb[23] == (None, True)
+    stored = {r.doc_id for r in spark.read.parquet(store).collect()}
+    assert stored == {1, 2, 3, 4, 5, 21, 23}
+
+    # a third batch re-presenting already-admitted content is fully
+    # suppressed — the store is the memory of every prior batch
+    C = spark.createDataFrame(
+        [(30, txt(21)), (31, txt(23))],
+        "doc_id long, text string",
+    )
+    vc = {r.doc_id: (r.dup_of, r.keep)
+          for r in dedup_admit_batch(C, store).collect()}
+    assert vc == {30: (21, False), 31: (23, False)}
+    assert spark.read.parquet(store).count() == 7  # unchanged
