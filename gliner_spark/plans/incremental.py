@@ -301,11 +301,14 @@ def dedup_admit_batch(
     g = guard(bn.unionByName(bo))
     bnp = bn.join(g, ["band_idx", "band_hash"])
 
-    # new-vs-old: every band collision against the store
+    # new-vs-old: every band collision against the store. src != dst
+    # keeps a RETRIED batch sane: a doc already admitted under its own
+    # id must not read as "duplicate of itself" on re-admission
     no_cand = (
         bnp.join(bo.select("band_idx", "band_hash",
                            F.col("doc_id").alias("old_id")),
                  ["band_idx", "band_hash"])
+        .where(F.col("doc_id") != F.col("old_id"))
         .select(F.col("doc_id").alias("src"), F.col("old_id").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
@@ -344,6 +347,13 @@ def dedup_admit_batch(
         .withColumn("keep", F.col("dup_of").isNull())
     ).localCheckpoint()  # pin BEFORE the store append below reads it
 
-    sig_new.join(verdict.where("keep").select("doc_id"), "doc_id") \
+    # append keepers NOT already present — the left-anti makes a
+    # retried admission a no-op on the store (same verdicts, no
+    # duplicate signature rows), the idempotence rule every other
+    # incremental op here follows via the checkpoint manifests
+    (
+        sig_new.join(verdict.where("keep").select("doc_id"), "doc_id")
+        .join(sig_old.select("doc_id"), "doc_id", "left_anti")
         .write.mode("append").parquet(store_dir)
+    )
     return verdict

@@ -628,3 +628,11 @@ def test_dedup_admit_batch_incremental_store(spark, tmp_path):
           for r in dedup_admit_batch(C, store).collect()}
     assert vc == {30: (21, False), 31: (23, False)}
     assert spark.read.parquet(store).count() == 7  # unchanged
+
+    # RETRY idempotence: re-admitting an already-admitted batch yields
+    # the same verdicts (no self-duplicate suppression via the store)
+    # and appends nothing (left-anti on stored ids)
+    vb2 = {r.doc_id: (r.dup_of, r.keep)
+           for r in dedup_admit_batch(B, store).collect()}
+    assert vb2 == vb
+    assert spark.read.parquet(store).count() == 7
