@@ -108,3 +108,45 @@ def test_spark_submit_curate_job(spark, tmp_path):
     ).agg(F.sum("n_tokens").alias("t"), F.max("n_tokens").alias("m"))
     assert tot.where(F.col("t") - F.col("m") >= 2048).count() == 0
     assert "kept:" in res.stdout
+
+
+def test_spark_submit_admit_job(spark, tmp_path):
+    """jobs/run_admit.py under spark-submit --py-files: two consecutive
+    batch admissions against one store — the second batch's duplicates
+    of the first are suppressed via the persisted signatures."""
+    sys.path.insert(0, REPO)
+    from tools.package_pyfiles import build
+
+    store = str(tmp_path / "store")
+    zip_path = build(str(tmp_path / "dist"))
+    submit = os.path.join(os.path.dirname(sys.executable), "spark-submit")
+    if not os.path.exists(submit):
+        submit = "spark-submit"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    txt = lambda i: f"{base} d{i}a d{i}b d{i}c d{i}d"  # noqa: E731
+
+    def admit(name, rows):
+        src = str(tmp_path / f"{name}_in")
+        out = str(tmp_path / f"{name}_verdicts")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.parquet(src)
+        res = subprocess.run(
+            [submit, "--master", "local[2]", "--py-files", zip_path,
+             os.path.join(REPO, "jobs", "run_admit.py"),
+             "--input", src, "--store", store, "--verdicts", out],
+            capture_output=True, text=True, cwd=str(tmp_path), env=env,
+            timeout=600,
+        )
+        assert res.returncode == 0, res.stderr[-3000:]
+        return {r.doc_id: (r.dup_of, r.keep)
+                for r in spark.read.parquet(out).collect()}, res.stdout
+
+    v1, out1 = admit("a", [(1, txt(1)), (2, txt(2))])
+    assert v1 == {1: (None, True), 2: (None, True)}
+    assert "admitted: 2/2" in out1
+    v2, out2 = admit("b", [(10, txt(1)), (11, txt(11))])
+    assert v2 == {10: (1, False), 11: (None, True)}  # store suppressed 10
+    assert "admitted: 1/2" in out2
+    assert spark.read.parquet(store).count() == 3
