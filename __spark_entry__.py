@@ -332,11 +332,25 @@ def q_mm_frames(spark, sf_dir):
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global paragraph-level exact dedup (CCNet/Dolma stage) in
+    window-words mode — the soup corpus has no layout newlines, so
+    10-word windows stand in for paragraphs; the first-occurrence
+    computation is identical either way. Took the gate slot previously
+    held by ner_mentions_sorted, whose output is ner_mentions' by
+    order-invariance and whose padding win is now measured directly
+    (tools/padding_probe.py: 12.8×); the sorted path stays exercised
+    in pytest."""
+    from gliner_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(_documents(spark, sf_dir), window_words=10)
+
+
 def q_ner_mentions_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length_sort=True: partition-local sort by text length before the
     # scoring stage (padding minimization for the ONNX batch path,
-    # processor.cpp:60,:80) — the mention SET must be order-invariant,
-    # so it shares the ner_mentions oracle
+    # processor.cpp:60,:80) — the mention SET must be order-invariant.
+    # Not a gate row since r5 (50-row cap; see q_paragraph_dedup).
     return extract_mentions(
         _documents(spark, sf_dir), SOUP_LABELS, id_col="doc_id",
         length_sort=True,
@@ -618,7 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join": q_skew_join,
         "bucketed_join": q_bucketed_join,
         "ner_mentions_chunked": q_ner_mentions_chunked,
-        "ner_mentions_sorted": q_ner_mentions_sorted,
+        "paragraph_dedup": q_paragraph_dedup,
         "ner_mentions_token": q_ner_mentions_token,
         "ner_nested_multilabel": q_ner_nested_multilabel,
         "stage_metrics": q_stage_metrics,
@@ -665,7 +679,7 @@ def oracle_sql() -> dict[str, str]:
         **RELATIONAL_SQL,
         "curate": oracle.curate_sql(),
         "ner_mentions_chunked": oracle.ner_mentions_sql(),
-        "ner_mentions_sorted": oracle.ner_mentions_sql(),
+        "paragraph_dedup": oracle.paragraph_dedup_sql(),
         "ner_mentions_token": oracle.token_mentions_sql(),
         "ner_nested_multilabel": oracle.ner_nested_sql(),
         "stage_metrics": oracle.stage_metrics_sql(),

@@ -218,6 +218,80 @@ def ngram_jaccard_dups(
     ).where(F.col("sim") >= threshold)
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    delimiter: str = "\n",
+    window_words: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, text_clean, n_kept, n_dropped): corpus-global
+    paragraph-level exact dedup — the CCNet/Dolma preprocessing step
+    that whole-document dedup cannot replace (boilerplate headers,
+    navigation blocks and repeated disclaimers recur across otherwise
+    distinct pages). Only the FIRST global occurrence of each paragraph
+    survives (minimum (doc_id, paragraph index)); every document is
+    reassembled from its kept paragraphs in original order (possibly
+    empty).
+
+    Segmentation: split on ``delimiter`` (real page layout), or — for
+    corpora without layout, like the soup test tables — fixed
+    ``window_words``-word windows, which keeps the exact same global
+    first-occurrence computation SQL-expressible for the oracle.
+
+    Plan shape at 10^12 docs: one explode, ONE shuffle (the
+    first-occurrence window partitions by the paragraph string — the
+    same key a groupBy dedup would shuffle; hot boilerplate paragraphs
+    are exactly the hot keys, and the row_number window only ever
+    WRITES rank 1 per partition-stream so no per-key state blows up),
+    one groupBy(doc_id) reassembly shuffle."""
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    if window_words is not None:
+        n_seg = F.ceil(F.size(words) / F.lit(window_words)).cast("int")
+        segs = F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * window_words + 1, window_words), " "
+            ),
+        )
+        joiner = " "
+    else:
+        segs = F.split(F.col(text_col), delimiter)
+        joiner = delimiter
+    paras = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(segs).alias("idx", "para"),
+    )
+    w = Window.partitionBy("para").orderBy("doc_id", "idx")
+    flagged = paras.withColumn(
+        "keep", F.row_number().over(w) == 1
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("keep"),
+                                       F.struct("idx", "para"))
+                            )
+                        ),
+                        lambda s: s.para,
+                    ),
+                    joiner,
+                ),
+                F.lit(""),
+            ).alias("text_clean"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        )
+    )
+
+
 def near_dup_clusters(
     docs: DataFrame,
     k: int = 3,

@@ -472,6 +472,38 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
 FROM r WHERE rank <= {k}"""
 
 
+def paragraph_dedup_sql(window_words: int = 10) -> str:
+    """Mirrors operators/dedup.paragraph_dedup in window-words mode
+    (the gate corpus has no layout newlines): global first-occurrence
+    per paragraph, per-document reassembly in original order."""
+    w = window_words
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS w
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(w[(i*{w}+1):((i+1)*{w})], ' ') AS para
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(
+                 0, CAST(ceil(len(w) / {w}.0) AS INT) - 1)) AS i
+        FROM d)
+),
+r AS (
+  SELECT doc_id, idx, para,
+         ROW_NUMBER() OVER (PARTITION BY para
+                            ORDER BY doc_id, idx) AS rn
+  FROM seg
+)
+SELECT doc_id,
+       COALESCE(string_agg(para, ' ' ORDER BY idx)
+                FILTER (WHERE rn = 1), '') AS text_clean,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+FROM r GROUP BY doc_id"""
+
+
 def ann_topk_blocked_sql(query_ids=None, k: int = ANN_TOPK) -> str:
     """Oracle for the merged blocked-ANN gate row: both variants (LSH,
     IVF) are exact-by-construction at gate settings, so each tag's

@@ -433,3 +433,26 @@ def test_ppm_decode_real_roundtrip(docs):
         decode_ppm(b"P5\n8 8\n255\n" + bytes(192))
     with _pytest.raises(ValueError):
         decode_ppm(b"P6\n8 8\n255\n" + bytes(10))
+
+
+def test_paragraph_dedup_newline_mode(spark):
+    """Real-layout mode: global first occurrence wins (across docs AND
+    within a doc), reassembly preserves original order, a fully-
+    boilerplate doc comes back empty, and counts reconcile."""
+    from gliner_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one\nshared boiler\nbody one"),
+            (2, "shared boiler\nbody two\nshared boiler"),  # dup within
+            (3, "shared boiler"),                            # all dup
+            (4, "body two\nfresh four"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text_clean, r.n_kept, r.n_dropped)
+           for r in paragraph_dedup(docs).collect()}
+    assert out[1] == ("intro one\nshared boiler\nbody one", 3, 0)
+    assert out[2] == ("body two", 1, 2)   # both boiler copies dropped
+    assert out[3] == ("", 0, 1)           # empty but present
+    assert out[4] == ("fresh four", 1, 1)  # "body two" first seen in 2
