@@ -151,7 +151,19 @@ def main() -> int:
          "MapInPandas": False, "*(": True},
     )
 
-    # 8. TPC-H-style join: small dim broadcast without hints
+    # 8. paragraph dedup: pure Catalyst (segmentation, first-occurrence
+    # window, reassembly agg — zero Python), column-pruned scan
+    from gliner_spark.operators.dedup import paragraph_dedup
+
+    p = executed_plan_of(paragraph_dedup(docs, window_words=10))
+    bad += not check(
+        "paragraph_dedup (pure Catalyst, codegen)",
+        p,
+        {"ArrowEvalPython": False, "BatchEvalPython": False,
+         "MapInPandas": False, "*(": True},
+    )
+
+    # 9. TPC-H-style join: small dim broadcast without hints
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     cust = spark.read.parquet(f"{SF}/customer.parquet")
     j = orders.join(cust, orders.o_custkey == cust.c_custkey).groupBy(
