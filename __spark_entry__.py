@@ -346,17 +346,6 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(_documents(spark, sf_dir), window_words=10)
 
 
-def q_ner_mentions_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # length_sort=True: partition-local sort by text length before the
-    # scoring stage (padding minimization for the ONNX batch path,
-    # processor.cpp:60,:80) — the mention SET must be order-invariant.
-    # Not a gate row since r5 (50-row cap; see q_paragraph_dedup).
-    return extract_mentions(
-        _documents(spark, sf_dir), SOUP_LABELS, id_col="doc_id",
-        length_sort=True,
-    )
-
-
 def q_ner_mentions_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunking extension ON (chunk_words=32, overlap=16): must equal the
     # unchunked mentions on this corpus → shares the ner_mentions oracle
