@@ -74,3 +74,39 @@ def test_pii_scrub_matches_duckdb_twin(spark):
            f"{counts['phones']} AS n_phones FROM t")
     oracle = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
     assert oracle == got
+
+
+def test_paragraph_dedup_property_vs_python_fold(spark):
+    """Property: on random corpora (repeated paragraphs drawn from a
+    tiny pool, random doc sizes), paragraph_dedup equals a straight
+    Python first-occurrence fold — reassembled text, kept and dropped
+    counts, every doc present."""
+    import random
+
+    from gliner_spark.operators.dedup import paragraph_dedup
+
+    rng = random.Random(17)
+    pool = [f"para {i} text" for i in range(6)]
+    for trial in range(5):
+        docs = []
+        for d in range(rng.randint(2, 8)):
+            paras = [rng.choice(pool)
+                     for _ in range(rng.randint(1, 5))]
+            docs.append((d, "\n".join(paras)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: (r.text_clean, r.n_kept, r.n_dropped)
+               for r in paragraph_dedup(df).collect()}
+
+        seen: set = set()
+        expect = {}
+        for d, text in sorted(docs):
+            kept = []
+            dropped = 0
+            for p in text.split("\n"):
+                if p in seen:
+                    dropped += 1
+                else:
+                    seen.add(p)
+                    kept.append(p)
+            expect[d] = ("\n".join(kept), len(kept), dropped)
+        assert got == expect, f"trial {trial}"
