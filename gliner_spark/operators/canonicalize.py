@@ -126,14 +126,19 @@ def connected_components_auto(
     the distributed fallback's own materialization (its entry
     ``localCheckpoint`` of the symmetrized edges) reads the cache
     instead of recomputing the pair join. Callers that already know
-    the edge count can pass ``size_hint`` to skip the probe (and its
-    up-to-1M-row driver materialization) entirely."""
+    the edge count can pass ``size_hint`` to skip the probe's
+    persist+count round trip — but NOT the safety bound: the collect
+    keeps its ``limit(threshold+1)`` even when hinted, so a stale or
+    miscomputed hint degrades to the distributed path instead of
+    materializing an unbounded graph on the driver (r5 ADVICE)."""
     if size_hint is not None:
         if size_hint > driver_threshold:
             return connected_components(edges, src, dst, max_iters)
         rows = edges.select(
             F.col(src).alias("a"), F.col(dst).alias("b")
-        ).collect()
+        ).limit(driver_threshold + 1).collect()
+        if len(rows) > driver_threshold:  # hint was wrong — stay safe
+            return connected_components(edges, src, dst, max_iters)
     else:
         pinned = edges.persist()
         try:

@@ -53,10 +53,28 @@ def _manifest_path(root: str) -> str:
     return os.path.join(root, "_checkpoints")
 
 
+def _posix_root(root: str) -> str | None:
+    """Non-raising twin of ``sinks._local_path``: the POSIX path for a
+    plain or ``file://`` root, None for genuinely remote schemes. Used
+    where local-only maintenance (compaction recovery) must engage for
+    every root the POSIX ops can reach — a ``file://`` root that
+    crashed mid-compaction would otherwise read back as an EMPTY
+    manifest (silent full recompute instead of resume, r5 ADVICE)."""
+    if "://" not in root:
+        return root
+    from urllib.parse import urlparse
+
+    u = urlparse(root)
+    if u.scheme in ("", "file") and not u.netloc:
+        return u.path
+    return None
+
+
 def read_manifest(spark: SparkSession, root: str, stage: str) -> DataFrame:
     path = _manifest_path(root)
-    if "://" not in root:  # local root: heal an interrupted compaction
-        _recover_manifest(path)
+    local = _posix_root(root)
+    if local is not None:  # heal an interrupted compaction
+        _recover_manifest(_manifest_path(local))
     try:
         m = spark.read.parquet(path)
     except Exception:

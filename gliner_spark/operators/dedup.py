@@ -239,14 +239,16 @@ def paragraph_dedup(
     ``window_words``-word windows, which keeps the exact same global
     first-occurrence computation SQL-expressible for the oracle.
 
-    Plan shape at 10^12 docs: one explode, ONE shuffle (the
-    first-occurrence window partitions by the paragraph string — the
-    same key a groupBy dedup would shuffle; hot boilerplate paragraphs
-    are exactly the hot keys, and the row_number window only ever
-    WRITES rank 1 per partition-stream so no per-key state blows up),
-    one groupBy(doc_id) reassembly shuffle."""
-    from pyspark.sql import Window
-
+    Plan shape at 10^12 docs: one explode, then first occurrence per
+    paragraph via ``groupBy(para).agg(min(struct(doc_id, idx)))`` —
+    NOT a row_number window: hot boilerplate paragraphs (exactly the
+    keys this operator targets) get map-side partial aggregation, so a
+    disclaimer repeated 10^8 times costs one min-struct per input
+    partition instead of one task's full sort buffer (r5 ADVICE). The
+    join back to flag keepers is probe-heavy on the same hot keys, but
+    the build side is one row per paragraph and AQE's skew-join split
+    divides the probe side freely. Then one groupBy(doc_id) reassembly
+    shuffle."""
     words = F.split(F.col(text_col), " ")
     if window_words is not None:
         n_seg = F.ceil(F.size(words) / F.lit(window_words)).cast("int")
@@ -264,9 +266,17 @@ def paragraph_dedup(
         F.col(id_col).cast("long").alias("doc_id"),
         F.posexplode(segs).alias("idx", "para"),
     )
-    w = Window.partitionBy("para").orderBy("doc_id", "idx")
-    flagged = paras.withColumn(
-        "keep", F.row_number().over(w) == 1
+    firsts = paras.groupBy("para").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first")
+    )
+    flagged = (
+        paras.join(firsts, "para")
+        .withColumn(
+            "keep",
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("idx") == F.col("first.idx")),
+        )
+        .drop("first")
     )
     return (
         flagged.groupBy("doc_id")

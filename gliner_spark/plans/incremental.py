@@ -332,7 +332,7 @@ def dedup_admit_batch(
         F.col("node").alias("doc_id"), F.col("component").alias("new_group")
     )
 
-    verdict = (
+    verdict0 = (
         sig_new.select("doc_id")
         .join(vs_old, sig_new.doc_id == vs_old.src, "left").drop("src")
         .join(comp, "doc_id", "left")
@@ -343,6 +343,25 @@ def dedup_admit_batch(
                 F.when(F.col("new_group") != F.col("doc_id"),
                        F.col("new_group")),
             ).alias("dup_of"),
+        )
+    )
+    # dup_of must point at a KEEPER in one hop (docstring contract).
+    # The one way it wouldn't: a new-vs-new component whose minimum doc
+    # is itself store-suppressed — members got dup_of = component min,
+    # which has keep=false. One self-join rewrites those to the min's
+    # own old_dup_of (an admitted store doc). A single hop suffices:
+    # the component min can only be suppressed by the STORE — any new
+    # doc that suppressed it would be a smaller member of the same
+    # component, contradicting minimality (r5 ADVICE).
+    target = verdict0.select(
+        F.col("doc_id").alias("dup_of"),
+        F.col("dup_of").alias("target_dup_of"),
+    )
+    verdict = (
+        verdict0.join(target, "dup_of", "left")
+        .select(
+            "doc_id",
+            F.coalesce("target_dup_of", "dup_of").alias("dup_of"),
         )
         .withColumn("keep", F.col("dup_of").isNull())
     ).localCheckpoint()  # pin BEFORE the store append below reads it

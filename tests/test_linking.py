@@ -140,6 +140,13 @@ def test_cc_auto_matches_distributed_both_sides_of_threshold(spark):
           for r in connected_components_auto(
               edges, driver_threshold=2).collect()}
     assert fb == dist
+    # a WRONG (too-small) size_hint must not collect an unbounded edge
+    # set: the limit(threshold+1) guard detects the overflow and falls
+    # back to the distributed path (r5 ADVICE)
+    hinted = {(r.node, r.component)
+              for r in connected_components_auto(
+                  edges, driver_threshold=2, size_hint=1).collect()}
+    assert hinted == dist
 
 
 def test_canonical_entities_singletons_and_merge(spark):

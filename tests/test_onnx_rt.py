@@ -261,3 +261,148 @@ def test_session_cache_and_device_guard(tmp_path):
         assert f"{path}@0" not in OnnxScorer._sessions
     finally:
         OnnxScorer._sessions.pop(f"{path}@-1", None)
+
+
+def test_unsqueeze_negative_axes_normalized_against_output_rank():
+    """ONNX spec: Unsqueeze axes are relative to the OUTPUT rank
+    (input rank + len(axes)). axes=[-1, -2] on a (3,) input must give
+    (3, 1, 1) — normalizing against the input rank instead computes
+    (1, 1, 3) (r5 ADVICE)."""
+    data = serialize_model(
+        nodes=[("Unsqueeze", ["x", "axes"], ["y"], None)],
+        initializers={"axes": np.asarray([-1, -2], dtype=np.int64)},
+        inputs=["x"], outputs=["y"],
+    )
+    sess = MiniOnnxSession(data)
+    (y,) = sess.run(None, {"x": np.asarray([1.0, 2.0, 3.0],
+                                           dtype=np.float32)})
+    assert y.shape == (3, 1, 1)
+
+    # single negative axis still lands at the end
+    data2 = serialize_model(
+        nodes=[("Unsqueeze", ["x", "ax1"], ["y"], None)],
+        initializers={"ax1": np.asarray([-1], dtype=np.int64)},
+        inputs=["x"], outputs=["y"],
+    )
+    (y2,) = MiniOnnxSession(data2).run(
+        None, {"x": np.zeros((2, 3), dtype=np.float32)})
+    assert y2.shape == (2, 3, 1)
+
+
+def test_attr_validation_rejects_unimplemented_semantics():
+    """Session construction rejects attributes whose semantics the
+    executor does not implement — op-type whitelisting alone would
+    compute silently wrong values for e.g. exclusive CumSum (r5
+    ADVICE). Both unknown attr keys and out-of-subset values raise."""
+    cases = [
+        # (nodes, initializers, match)
+        ([("CumSum", ["x", "ax"], ["y"], {"exclusive": 1})],
+         {"ax": np.asarray(0, dtype=np.int64)}, "exclusive"),
+        ([("CumSum", ["x", "ax"], ["y"], {"reverse": 1})],
+         {"ax": np.asarray(0, dtype=np.int64)}, "reverse"),
+        ([("ReduceMax", ["x"], ["y"],
+           {"noop_with_empty_axes": 1})], {}, "noop_with_empty_axes"),
+        ([("Reshape", ["x", "s"], ["y"], {"allowzero": 1})],
+         {"s": np.asarray([1], dtype=np.int64)}, "allowzero"),
+        # pre-opset-10 Slice carries starts/ends as ATTRS — unhandled
+        ([("Slice", ["x"], ["y"], {"starts": [0], "ends": [1]})],
+         {}, "starts|ends"),
+    ]
+    for nodes, inits, match in cases:
+        data = serialize_model(nodes=nodes, initializers=inits,
+                               inputs=["x"], outputs=["y"])
+        with pytest.raises(NotImplementedError, match=match):
+            MiniOnnxSession(data)
+
+    # the allowed values still construct fine
+    ok = serialize_model(
+        nodes=[("CumSum", ["x", "ax"], ["y"],
+                {"exclusive": 0, "reverse": 0})],
+        initializers={"ax": np.asarray(0, dtype=np.int64)},
+        inputs=["x"], outputs=["y"],
+    )
+    (y,) = MiniOnnxSession(ok).run(
+        None, {"x": np.asarray([1, 2, 3], dtype=np.int64)})
+    assert y.tolist() == [1, 3, 6]
+
+
+def test_mini_transformer_block_end_to_end(tmp_path):
+    """A REAL one-layer transformer block — embedding Gather, scaled
+    dot-product self-attention (Gemm/Transpose/MatMul/Softmax),
+    residual + LayerNormalization, Erf-GELU FFN — serialized to a
+    genuine .onnx file, parsed and executed by MiniOnnxSession, and
+    checked against an independent numpy reference. This is the
+    transformer op subset the reference's real forward needs
+    (/root/reference/src/model.cpp:79-99): the remaining gap to a full
+    GLiNER checkpoint is weights + the onnxruntime wheel, not
+    mechanism."""
+    rng = np.random.default_rng(7)
+    V, T, d, ff = 11, 5, 8, 16
+    W = {
+        "E": rng.normal(0, 0.5, (V, d)),
+        "Wq": rng.normal(0, 0.5, (d, d)), "bq": rng.normal(0, 0.1, d),
+        "Wk": rng.normal(0, 0.5, (d, d)), "bk": rng.normal(0, 0.1, d),
+        "Wv": rng.normal(0, 0.5, (d, d)), "bv": rng.normal(0, 0.1, d),
+        "Wo": rng.normal(0, 0.5, (d, d)), "bo": rng.normal(0, 0.1, d),
+        "g1": rng.normal(1, 0.1, d), "be1": rng.normal(0, 0.1, d),
+        "W1": rng.normal(0, 0.5, (d, ff)), "b1": rng.normal(0, 0.1, ff),
+        "W2": rng.normal(0, 0.5, (ff, d)), "b2": rng.normal(0, 0.1, d),
+        "g2": rng.normal(1, 0.1, d), "be2": rng.normal(0, 0.1, d),
+    }
+    inits = {k: v.astype(np.float32) for k, v in W.items()}
+    inits["sqrt_d"] = np.asarray(np.sqrt(d), dtype=np.float32)
+    inits["sqrt2"] = np.asarray(np.sqrt(2.0), dtype=np.float32)
+    inits["half"] = np.asarray(0.5, dtype=np.float32)
+    inits["one"] = np.asarray(1.0, dtype=np.float32)
+    ln = {"axis": -1, "epsilon": 1e-5}
+    nodes = [
+        ("Gather", ["E", "ids"], ["x"], None),
+        ("Gemm", ["x", "Wq", "bq"], ["q"], None),
+        ("Gemm", ["x", "Wk", "bk"], ["k"], None),
+        ("Gemm", ["x", "Wv", "bv"], ["v"], None),
+        ("Transpose", ["k"], ["kt"], {"perm": [1, 0]}),
+        ("MatMul", ["q", "kt"], ["qk"], None),
+        ("Div", ["qk", "sqrt_d"], ["scores"], None),
+        ("Softmax", ["scores"], ["attn"], {"axis": -1}),
+        ("MatMul", ["attn", "v"], ["ctx"], None),
+        ("Gemm", ["ctx", "Wo", "bo"], ["proj"], None),
+        ("Add", ["x", "proj"], ["res1"], None),
+        ("LayerNormalization", ["res1", "g1", "be1"], ["h1"], ln),
+        ("Gemm", ["h1", "W1", "b1"], ["f1"], None),
+        ("Div", ["f1", "sqrt2"], ["f1s"], None),
+        ("Erf", ["f1s"], ["erf"], None),
+        ("Add", ["erf", "one"], ["erf1"], None),
+        ("Mul", ["f1", "erf1"], ["gel0"], None),
+        ("Mul", ["gel0", "half"], ["gelu"], None),
+        ("Gemm", ["gelu", "W2", "b2"], ["f2"], None),
+        ("Add", ["h1", "f2"], ["res2"], None),
+        ("LayerNormalization", ["res2", "g2", "be2"], ["out"], ln),
+    ]
+    path = str(tmp_path / "mini_transformer.onnx")
+    with open(path, "wb") as f:
+        f.write(serialize_model(nodes=nodes, initializers=inits,
+                                inputs=["ids"], outputs=["out"]))
+
+    ids = np.asarray([3, 1, 4, 1, 5], dtype=np.int64)
+    (got,) = MiniOnnxSession(path).run(None, {"ids": ids})
+
+    # independent reference (float64 throughout)
+    def lnorm(x, g, b):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + 1e-5) * g + b
+
+    x = W["E"][ids]
+    q, k, v = (x @ W[w] + W[b]
+               for w, b in (("Wq", "bq"), ("Wk", "bk"), ("Wv", "bv")))
+    s = q @ k.T / np.sqrt(d)
+    a = np.exp(s - s.max(-1, keepdims=True))
+    a /= a.sum(-1, keepdims=True)
+    h1 = lnorm(x + (a @ v) @ W["Wo"] + W["bo"], W["g1"], W["be1"])
+    f1 = h1 @ W["W1"] + W["b1"]
+    gelu = 0.5 * f1 * (1.0 + np.vectorize(math.erf)(f1 / np.sqrt(2.0)))
+    want = lnorm(h1 + gelu @ W["W2"] + W["b2"], W["g2"], W["be2"])
+
+    assert got.shape == (T, d) and got.dtype == np.float32
+    # fp32 weights vs fp64 reference: tolerance covers the downcast
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)

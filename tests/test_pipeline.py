@@ -667,3 +667,67 @@ def test_admit_batch_signature_estimator_quality(spark):
     assert jhat_13 == 1.0                 # exact dup: deterministic
     j = 1 / 3
     assert abs(jhat_12 - j) <= 3 * (j * (1 - j) / 128) ** 0.5  # 3σ
+
+
+def test_admit_dup_of_always_points_at_a_keeper(spark, tmp_path):
+    """Docstring contract: ``dup_of`` resolves to a keeper in ONE hop.
+    The hard case (r5 ADVICE): a new-vs-new component whose minimum doc
+    is itself suppressed by the STORE — the other members must point at
+    the min's admitting store doc, not at the (non-kept) min. Chain:
+    admitted A ≈ B, B ≈ C, but A ≉ C (near-dup, not exact — an exact
+    triple would give C a direct store match and mask the bug)."""
+    from gliner_spark.plans.incremental import dedup_admit_batch
+
+    store = str(tmp_path / "sig_store")
+    base = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 "
+            "w16 w17 w18 w19 w20")
+    A = base                                # 20 words, 18 k=3 shingles
+    B = base + " x1 x2 x3"                  # J(A,B) = 18/21 ≈ 0.857
+    C = " ".join(B.split()[3:])             # J(B,C) = 18/21; J(A,C) = 15/21
+
+    va = {r.doc_id: (r.dup_of, r.keep) for r in dedup_admit_batch(
+        spark.createDataFrame([(1, A)], "doc_id long, text string"),
+        store, threshold=0.78).collect()}
+    assert va == {1: (None, True)}
+
+    vb = {r.doc_id: (r.dup_of, r.keep) for r in dedup_admit_batch(
+        spark.createDataFrame([(10, B), (11, C)],
+                              "doc_id long, text string"),
+        store, threshold=0.78).collect()}
+    assert vb[10] == (1, False)   # store-suppressed component min
+    assert vb[11] == (1, False)   # resolved THROUGH 10 to the keeper 1
+    stored = {r.doc_id for r in spark.read.parquet(store).collect()}
+    assert stored == {1}
+
+
+def test_read_manifest_heals_file_scheme_roots(spark, tmp_path):
+    """A crash between compact_manifest's two renames must heal for
+    file:// roots exactly as for plain paths — before the r5 ADVICE fix
+    read_manifest skipped recovery for any '://' root, saw no manifest
+    dir, and silently returned an EMPTY manifest (full recompute
+    instead of resume)."""
+    import os
+    import shutil
+
+    from gliner_spark.operators.checkpoint import (
+        checkpoint_write,
+        compact_manifest,
+        completed_partitions,
+        with_part_key,
+    )
+
+    root = str(tmp_path / "root")
+    furi = "file://" + root
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("payload")
+    )
+    checkpoint_write(with_part_key(docs, "doc_id", n_buckets=4), root, "s")
+    compact_manifest(spark, furi)  # file:// accepted by _local_path
+
+    # crash BETWEEN the renames: manifest gone, committed tmp behind
+    path = os.path.join(root, "_checkpoints")
+    shutil.copytree(path, path + ".compact")
+    os.rename(path, path + ".old")
+    assert completed_partitions(spark, furi, "s").count() == 4  # healed
+    assert os.path.isdir(path)
+    assert not os.path.isdir(path + ".old")
