@@ -151,6 +151,14 @@ def connected_components_auto(
                 return connected_components(pinned, src, dst, max_iters)
         finally:
             pinned.unpersist()
+    return _union_find_df(edges, src, rows)
+
+
+def _union_find_df(edges: DataFrame, src: str, rows) -> DataFrame:
+    """Driver path-compressed union-find over a collected edge list →
+    (node, component) DataFrame with component = min member. Shared by
+    the size-adaptive CC entry points; callers are responsible for
+    bounding ``rows`` (limit(threshold+1) probes)."""
     parent: dict = {}
 
     def find(x):
@@ -264,6 +272,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Large-star/small-star connected components (the O(log n)-round
     map-reduce CC of Kiveris et al., re-expressed as DataFrame joins) —
@@ -272,26 +281,65 @@ def connected_components_star(
     ``connected_components`` (kept as the low-overhead default for the
     small surface/dup graphs this pipeline produces).
 
+    Like every CC entry point here, size-adaptive (r5 verdict #8): a
+    graph under ``driver_threshold`` edges short-circuits to the shared
+    driver union-find — each star round costs ~10 tiny shuffle stages
+    plus a localCheckpoint, a fixed ~1.5 s/round that a toy graph pays
+    3× over for 17 nodes. The iteration itself (unchanged above the
+    threshold) is the one that runs at 10^12 nodes; tests pin it
+    directly with ``driver_threshold=0``.
+
     Returns (node, component) with component = min node id.
     """
-    e = _symmetric(edges, src, dst).localCheckpoint()
-    n = e.count()
+    pinned = None
+    if driver_threshold > 0:
+        pinned = edges.persist()
+        probe = pinned.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            try:
+                return _union_find_df(pinned, src, probe)
+            finally:
+                pinned.unpersist()
+        edges = pinned  # entry localCheckpoint below reads the cache
+    def _sig(df: DataFrame) -> tuple:
+        # one cheap aggregation job over the just-checkpointed
+        # partitions: (count, order-insensitive xxhash64 content sum)
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: ANSI mode errors on long overflow
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return r.n, r.h
+
+    entry = _symmetric(edges, src, dst).localCheckpoint()  # eager
+    if pinned is not None:
+        pinned.unpersist()  # the entry checkpoint holds the data now
+    e = entry
+    sig = _sig(e)
     for _ in range(max_iters):
         e2 = _small_star(_large_star(e)).localCheckpoint()
-        n2 = e2.count()
-        # fixpoint check, cheapest-first: counts (an action over the
-        # just-checkpointed partitions, no shuffle) gate the single
-        # exceptAll — for multisets of EQUAL size, e2 ⊆ e implies
-        # e ⊆ e2, so one direction suffices (was two exceptAll joins
-        # per round, the dominant fixed cost at small graph sizes)
-        if n2 == n and e2.exceptAll(e).limit(1).count() == 0:
+        sig2 = _sig(e2)
+        # fixpoint check, cheapest-first (r5 verdict #8): the per-round
+        # probe is ONE no-shuffle aggregation — equal multisets have
+        # equal (count, hash-sum), so a signature change proves
+        # progress without any join. Only a signature MATCH runs the
+        # exact exceptAll confirmation (for equal sizes e2 ⊆ e implies
+        # e ⊆ e2, one direction suffices), i.e. the heavy join executes
+        # once per call, at the true fixpoint — not once per
+        # near-converged round. A hash-sum collision merely costs that
+        # one extra exceptAll; it cannot terminate the loop early.
+        if sig2 == sig and e2.exceptAll(e).limit(1).count() == 0:
             e = e2
             break
-        e, n = e2, n2
+        e, sig = e2, sig2
     # e is now (almost-)star-shaped: node → its component min, plus the
     # roots themselves; resolve one more min per node for safety
     comp = e.groupBy("u").agg(F.min("v").alias("component"))
-    nodes = _symmetric(edges, src, dst).select(F.col("u")).distinct()
+    # node universe from the ENTRY checkpoint — re-symmetrizing
+    # ``edges`` here would re-run the whole upstream pair join
+    nodes = entry.select(F.col("u")).distinct()
     return (
         nodes.join(comp, "u", "left")
         .select(

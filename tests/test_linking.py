@@ -188,11 +188,21 @@ def test_star_cc_matches_hashmin(spark):
     hashmin = {
         r.node: r.component for r in connected_components(df).collect()
     }
+    # driver_threshold=0 pins the star ITERATION itself (the
+    # size-adaptive shortcut would route this toy graph to the
+    # shared union-find, which the auto tests already cover)
     star = {
+        r.node: r.component
+        for r in connected_components_star(
+            df, driver_threshold=0).collect()
+    }
+    assert star == hashmin and len(star) > 0
+    # the adaptive default must agree with the pinned iteration
+    adaptive = {
         r.node: r.component
         for r in connected_components_star(df).collect()
     }
-    assert star == hashmin and len(star) > 0
+    assert adaptive == hashmin
 
 
 def test_embeddings_and_cosine_links(spark):
