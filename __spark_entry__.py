@@ -226,6 +226,30 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_dups(_documents(spark, sf_dir), hash_family="md5_60")
 
 
+def q_dedup_admit(spark, sf_dir):
+    """Incremental dedup against the append-only signature store
+    (plans/incremental.dedup_admit_batch) — the genuinely 100 TB-shaped
+    dedup: a new crawl batch never re-reads or re-shingles the admitted
+    corpus, only its fixed-width signatures. Gate form: two batches
+    (even doc_ids, then odd) against a fresh per-call store; the oracle
+    replays the same admission in exact-Jaccard SQL (estimator-margin +
+    pigeonhole band-recall argument in oracle.dedup_admit_sql)."""
+    import tempfile
+
+    from gliner_spark.plans.incremental import dedup_admit_batch
+
+    docs = _documents(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="gs_admit_")
+    out = []
+    for batch, parity in ((1, 0), (2, 1)):
+        v = dedup_admit_batch(
+            docs.where(F.col("doc_id") % 2 == parity), store
+        )
+        out.append(v.select(F.lit(batch).cast("long").alias("batch"),
+                            "doc_id", "dup_of", "keep"))
+    return out[0].unionByName(out[1])
+
+
 def q_dedup_clusters(spark, sf_dir):
     # curation decision layer: pair graph → connected components →
     # canonical representative; EXACT oracle (recursive CTE closure
@@ -246,23 +270,23 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_dup_pairs_lsh(_embeddings(spark, sf_dir))
 
 
-def q_ann_topk(spark, sf_dir):
-    return brute_force_topk(_embeddings(spark, sf_dir), oracle.ANN_QUERY_IDS,
-                            k=oracle.ANN_TOPK)
-
-
 def q_ann_topk_blocked(spark, sf_dir):
-    """Both blocked-ANN plans (hyperplane-LSH and IVF) under ONE gate
-    row, tagged by ``variant`` — the driver caps the correctness gate
-    at 50 queries (r4: 51 entries → exactly 50 rows, last dropped), so
-    the two variants share a slot; each still has its own pytest
-    coverage and plan assertions in tests/test_dedup_similarity.py.
-    Oracle = brute-force top-k UNION ALL'd once per tag, valid because
-    both variants are exact-by-construction at gate settings (see
-    the per-variant notes below)."""
+    """All three ANN plans (brute-force baseline, hyperplane-LSH, IVF)
+    under ONE gate row, tagged by ``variant`` — the driver caps the
+    correctness gate at 50 queries (r4: 51 entries → exactly 50 rows,
+    last dropped), so the variants share a slot; each still has its
+    own pytest coverage and plan assertions in
+    tests/test_dedup_similarity.py. Oracle = brute-force top-k UNION
+    ALL'd once per tag, valid because both blocked variants are
+    exact-by-construction at gate settings (see the per-variant notes
+    below). The brute tag folded in here in r6 to free the slot now
+    held by dedup_admit (r5 verdict #7)."""
+    brute = brute_force_topk(
+        _embeddings(spark, sf_dir), oracle.ANN_QUERY_IDS, k=oracle.ANN_TOPK
+    ).select(F.lit("brute").alias("variant"), "*")
     lsh = _ann_lsh(spark, sf_dir).select(F.lit("lsh").alias("variant"), "*")
     ivf = _ann_ivf(spark, sf_dir).select(F.lit("ivf").alias("variant"), "*")
-    return lsh.unionByName(ivf)
+    return brute.unionByName(lsh).unionByName(ivf)
 
 
 def _ann_lsh(spark, sf_dir):
@@ -619,7 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
-        "ann_topk": q_ann_topk,
+        "dedup_admit": q_dedup_admit,
         "ann_topk_blocked": q_ann_topk_blocked,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
@@ -677,7 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oracle.dedup_simhash_sql(),
         "dedup_clusters": oracle.dedup_clusters_sql(),
         "dedup_embedding": oracle.embedding_dups_sql(),
-        "ann_topk": oracle.ann_topk_sql(),
+        "dedup_admit": oracle.dedup_admit_sql(),
         "ann_topk_blocked": oracle.ann_topk_blocked_sql(),
         "token_stats": oracle.token_stats_sql(),
         "bpe_token_stats": oracle.bpe_token_stats_sql(),

@@ -54,7 +54,8 @@ def headline_queries() -> list[str]:
 # wall time — visibility over precision for the long tail
 LEGACY = {
     "ner_mentions", "ner_triples", "kg_edges", "kg_nodes", "dedup_ngram",
-    "dedup_minhash", "dedup_simhash", "ann_topk", "token_stats", "quality",
+    "dedup_minhash", "dedup_simhash", "ann_topk_blocked", "token_stats",
+    "quality",
     "lang_id", "fingerprints", "sessionize", "hourly_rollup", "mm_meta",
     "kg_pipeline",
 }

@@ -511,8 +511,80 @@ def ann_topk_blocked_sql(query_ids=None, k: int = ANN_TOPK) -> str:
     base = ann_topk_sql(query_ids, k)
     return "\n UNION ALL \n".join(
         f"SELECT '{tag}' AS variant, * FROM ({base})"
-        for tag in ("lsh", "ivf")
+        for tag in ("brute", "lsh", "ivf")
     )
+
+
+def dedup_admit_sql(k: int = 3, threshold: float = 0.8) -> str:
+    """Mirrors plans/incremental.dedup_admit_batch run as two batches
+    (batch 1 = even doc_ids, batch 2 = odd) against a fresh store.
+
+    The oracle world is EXACT Jaccard; the operator's verifier is the
+    signature estimator Ĵ = |matching positions|/128. They agree
+    deterministically on this corpus by the same margin argument the
+    minhash row carries: seeded dups sit at J ≈ 0.99 (P[Ĵ < 0.8] means
+    >25 of 128 positions mismatch at E[mismatch] ≈ 1.3 — vanishing),
+    background pairs at J ≈ 0 (Ĵ ≥ 0.8 unreachable), and candidate
+    recall is exact by PIGEONHOLE, not probability: Ĵ ≥ 0.8 leaves at
+    most 25 mismatched positions, which can break at most 25 of the 32
+    bands, so at least 7 whole bands collide. Store membership after
+    batch 1 = its keepers; batch-2 suppression = min admitted match,
+    else in-batch component min, with the one-hop keeper rewrite
+    through a store-suppressed component min (r5 ADVICE)."""
+    def cc(tag: str, parity: int) -> str:
+        return f"""
+p{tag} AS (SELECT src, dst FROM dup_pairs
+           WHERE src % 2 = {parity} AND dst % 2 = {parity}),
+sym{tag} AS (SELECT src AS a, dst AS b FROM p{tag}
+             UNION SELECT dst, src FROM p{tag}),
+reach{tag}(node, root) AS (
+  SELECT DISTINCT a, a FROM sym{tag}
+  UNION
+  SELECT s.b, r.root FROM reach{tag} r JOIN sym{tag} s ON s.a = r.node
+),
+comp{tag} AS (SELECT node, MIN(root) AS component
+              FROM reach{tag} GROUP BY node)"""
+
+    return f"""WITH RECURSIVE {_ngram_pairs_cte(k, threshold)},
+ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+{cc("1", 0)},
+v1 AS (
+  SELECT ids.doc_id,
+         CASE WHEN comp1.component <> ids.doc_id
+              THEN comp1.component END AS dup_of
+  FROM ids LEFT JOIN comp1 ON comp1.node = ids.doc_id
+  WHERE ids.doc_id % 2 = 0
+),
+store1 AS (SELECT doc_id FROM v1 WHERE dup_of IS NULL),
+oldm AS (
+  SELECT CASE WHEN src % 2 = 1 THEN src ELSE dst END AS doc_id,
+         MIN(CASE WHEN src % 2 = 0 THEN src ELSE dst END) AS old_dup_of
+  FROM dup_pairs
+  WHERE (src % 2) <> (dst % 2)
+    AND (CASE WHEN src % 2 = 0 THEN src ELSE dst END)
+        IN (SELECT doc_id FROM store1)
+  GROUP BY 1
+),
+{cc("2", 1)},
+v2a AS (
+  SELECT ids.doc_id,
+         COALESCE(oldm.old_dup_of,
+                  CASE WHEN comp2.component <> ids.doc_id
+                       THEN comp2.component END) AS dup_of
+  FROM ids
+  LEFT JOIN oldm USING (doc_id)
+  LEFT JOIN comp2 ON comp2.node = ids.doc_id
+  WHERE ids.doc_id % 2 = 1
+),
+v2 AS (
+  SELECT a.doc_id, COALESCE(t.dup_of, a.dup_of) AS dup_of
+  FROM v2a a LEFT JOIN v2a t ON t.doc_id = a.dup_of
+)
+SELECT CAST(1 AS BIGINT) AS batch, doc_id, dup_of,
+       dup_of IS NULL AS keep FROM v1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS batch, doc_id, dup_of,
+       dup_of IS NULL AS keep FROM v2"""
 
 
 def lm_score_sql(k_smooth: float = 0.5) -> str:
