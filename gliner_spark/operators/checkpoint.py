@@ -75,6 +75,17 @@ def read_manifest(spark: SparkSession, root: str, stage: str) -> DataFrame:
     local = _posix_root(root)
     if local is not None:  # heal an interrupted compaction
         _recover_manifest(_manifest_path(local))
+    else:
+        from urllib.parse import urlparse
+
+        from .fsio import _ATOMIC_RENAME_SCHEMES, fs_for
+
+        if urlparse(root).scheme in _ATOMIC_RENAME_SCHEMES:
+            # hdfs-like roots get the same recovery through the Hadoop
+            # client; object stores never ran the rename-based
+            # compaction, so there is nothing to heal there
+            fs, r = fs_for(spark, root, "hadoop")
+            _recover_manifest_fs(fs, _manifest_path(r))
     try:
         m = spark.read.parquet(path)
     except Exception:
@@ -161,8 +172,16 @@ def checkpoint_write(
 
 
 def _recover_manifest(path: str) -> None:
+    from .fsio import PosixFs
+
+    _recover_manifest_fs(PosixFs(), path)
+
+
+def _recover_manifest_fs(fs, path: str) -> None:
     """Heal the crash windows of ``compact_manifest``'s two-rename swap
-    (called on entry by every manifest-touching op). States:
+    (called on entry by every manifest-touching op), expressed over the
+    fsio backend so file:// and hdfs:// roots heal identically to plain
+    paths. States:
     - manifest present + ``.compact`` leftover → stale tmp, drop it;
     - manifest present + ``.old`` leftover → crash after the second
       rename, finish by dropping the trash;
@@ -171,35 +190,56 @@ def _recover_manifest(path: str) -> None:
       rename, so promoting it FINISHES the compaction;
     - manifest missing + ``.old`` only (or incomplete tmp) → roll back
       to the pre-compaction manifest."""
-    import shutil
-
     tmp, trash = path + ".compact", path + ".old"
-    if os.path.isdir(path):
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(trash, ignore_errors=True)
+    if fs.exists(path):
+        fs.delete(tmp)
+        fs.delete(trash)
         return
-    if os.path.isdir(tmp) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
-        os.rename(tmp, path)
-        shutil.rmtree(trash, ignore_errors=True)
+    if fs.exists(tmp) and fs.exists(fs.join(tmp, "_SUCCESS")):
+        fs.rename(tmp, path)
+        fs.delete(trash)
         return
-    if os.path.isdir(trash):
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.rename(trash, path)
+    if fs.exists(trash):
+        fs.delete(tmp)
+        fs.rename(trash, path)
 
 
 def _local_manifest_path(root: str, op: str) -> str:
-    """Compaction/recovery walk and rename the manifest with POSIX os
-    calls — local roots only (HDFS/S3 checkpoint roots are supported by
-    checkpoint_write/read, which go through Spark, but NOT by these
-    maintenance ops; at cluster scale manifest maintenance belongs to
-    the table format's own compaction). Fails fast instead of renaming
-    a literal './hdfs:/...' local path (r4 ADVICE)."""
+    """POSIX manifest path for ops that stay local-only (os.walk
+    gauges). Fails fast instead of renaming a literal './hdfs:/...'
+    local path (r4 ADVICE)."""
     from gliner_spark.operators.sinks import _local_path
 
     return _manifest_path(_local_path(root, op))
 
 
-def compact_manifest(spark: SparkSession, root: str) -> int:
+def _maintenance_fs(spark, root: str, op: str, backend: str | None):
+    """(fs, manifest_path) for the compaction family. The swap is two
+    RENAMES, so the backend must rename atomically: POSIX and
+    hdfs-like schemes qualify; object stores (s3a/gs/abfs — rename is
+    copy+delete) fail fast with the Iceberg pointer, because a crash
+    mid-copy there leaves a state the recovery walk cannot
+    distinguish from a committed one."""
+    from urllib.parse import urlparse
+
+    from .fsio import _ATOMIC_RENAME_SCHEMES, backend_for, fs_for
+
+    b = backend or backend_for(root)
+    if b != "posix":
+        scheme = urlparse(root).scheme
+        if scheme and scheme not in _ATOMIC_RENAME_SCHEMES:
+            raise ValueError(
+                f"{op} needs an atomic rename; {scheme}:// renames are "
+                "copy+delete. For object-store manifests use the "
+                "catalog path (write_table fmt='iceberg'|'delta') — a "
+                "table-format snapshot commit is the equivalent."
+            )
+    fs, r = fs_for(spark, root, b)
+    return fs, _manifest_path(r)
+
+
+def compact_manifest(spark: SparkSession, root: str,
+                     backend: str | None = None) -> int:
     """Rewrite the append-only manifest to a single parquet file.
 
     ``checkpoint_write`` appends one small parquet per call; a
@@ -217,14 +257,15 @@ def compact_manifest(spark: SparkSession, root: str) -> int:
     compaction without a lock service; the Iceberg catalog path gets
     this atomically via snapshot commit). A crash between the renames
     is healed by ``_recover_manifest`` on the next manifest op (the
-    committed tmp is promoted, else ``.old`` rolls back). Local
-    filesystem roots only. Returns rows retained."""
-    import shutil
-
+    committed tmp is promoted, else ``.old`` rolls back). Runs on any
+    filesystem with atomic rename — POSIX paths, ``file://`` and
+    ``hdfs://`` roots (via the fsio Hadoop backend, r5 verdict #5);
+    object stores fail fast with the Iceberg pointer (see
+    ``_maintenance_fs``). Returns rows retained."""
     from pyspark.sql import Window
 
-    path = _local_manifest_path(root, "compact_manifest")
-    _recover_manifest(path)
+    fs, path = _maintenance_fs(spark, root, "compact_manifest", backend)
+    _recover_manifest_fs(fs, path)
     try:
         m = spark.read.parquet(path)
     except Exception:
@@ -244,10 +285,10 @@ def compact_manifest(spark: SparkSession, root: str) -> int:
     tmp = path + ".compact"
     compacted.coalesce(1).write.mode("overwrite").parquet(tmp)
     trash = path + ".old"
-    shutil.rmtree(trash, ignore_errors=True)
-    os.rename(path, trash)
-    os.rename(tmp, path)
-    shutil.rmtree(trash, ignore_errors=True)
+    fs.delete(trash)
+    fs.rename(path, trash)
+    fs.rename(tmp, path)
+    fs.delete(trash)
     return n
 
 

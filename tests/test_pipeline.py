@@ -202,11 +202,35 @@ def test_compact_manifest_crash_recovery_and_scheme_guard(spark, tmp_path):
     assert manifest_file_count(root) == 1  # healed from .old
     assert not os.path.isdir(path + ".compact")
 
+    # object-store compaction still fails fast (rename is copy+delete
+    # there — the recovery walk cannot heal a crash mid-copy); hdfs://
+    # now ROUTES through the Hadoop client instead (r5 verdict #5),
+    # exercised below via backend="hadoop" on a local root
+    with pytest.raises(ValueError, match="atomic rename"):
+        compact_manifest(spark, "s3a://bucket/ckpt")
     for bad in ("hdfs://nn:8020/ckpt", "s3a://bucket/ckpt"):
         with pytest.raises(ValueError, match="local filesystem"):
-            compact_manifest(spark, bad)
-        with pytest.raises(ValueError, match="local filesystem"):
             manifest_file_count(bad)
+
+    # the Hadoop-routed compaction swap + crash recovery, driven
+    # through Hadoop's LocalFileSystem: compact, then simulate a crash
+    # between the renames and confirm the next (hadoop-routed) manifest
+    # read heals it
+    n = compact_manifest(spark, root, backend="hadoop")
+    assert n == 4
+    assert manifest_file_count(root) == 1
+    shutil.copytree(path, path + ".compact")
+    os.rename(path, path + ".old")
+    from gliner_spark.operators.checkpoint import (
+        _manifest_path,
+        _recover_manifest_fs,
+    )
+    from gliner_spark.operators.fsio import fs_for
+
+    fs, r = fs_for(spark, root, "hadoop")
+    _recover_manifest_fs(fs, path)
+    assert os.path.isdir(path) and not os.path.isdir(path + ".old")
+    assert completed_partitions(spark, root, "s").count() == 4
 
 
 def test_publish_atomic_reader_never_sees_partial(spark, tmp_path):
@@ -310,11 +334,15 @@ def test_publish_atomic_pin_lifecycle_and_scheme_guard(spark, tmp_path):
     # ...and is swept once past the TTL
     publish_atomic(spark.range(40), out, keep_versions=1, pin_ttl_s=0.0)
     assert os.listdir(pins) == []
+    # remote schemes now ROUTE to the Hadoop FileSystem client instead
+    # of failing fast (r5 verdict #5); in this sandbox there is no
+    # reachable namenode / s3a jar, so the route surfaces the
+    # filesystem's own error rather than a silent local-disk marker —
+    # the split-brain the old guard existed for stays impossible
     for bad in ("s3://bucket/kg_out", "hdfs://nn:8020/kg"):
-        with pytest.raises(ValueError, match="local filesystem"):
+        with pytest.raises(Exception) as ei:
             publish_atomic(spark.range(1), bad)
-        with pytest.raises(ValueError, match="local filesystem"):
-            read_published(spark, bad)
+        assert "local filesystem" not in str(ei.value)
     # file:// URIs are local: accepted and equivalent to the plain path
     assert read_published(spark, f"file://{out}").count() == 40
 
@@ -731,3 +759,56 @@ def test_read_manifest_heals_file_scheme_roots(spark, tmp_path):
     assert completed_partitions(spark, furi, "s").count() == 4  # healed
     assert os.path.isdir(path)
     assert not os.path.isdir(path + ".old")
+
+
+def test_publish_atomic_hadoop_backend_parity(spark, tmp_path):
+    """LocalFS-vs-HadoopFS parity (r5 verdict #5): the Hadoop-routed
+    publish (versioned dirs + create-only ``_markers/`` files, driven
+    here through Hadoop's LocalFileSystem via ``backend="hadoop"``)
+    must expose the same observable contract as the POSIX pointer
+    path — latest complete version readable, retention honored — and
+    its reader must skip invalid markers (empty file; marker whose
+    version was pruned) instead of failing."""
+    import os
+
+    from gliner_spark.operators.sinks import (
+        publish_atomic,
+        published_snapshot,
+        read_published,
+    )
+
+    posix_root = str(tmp_path / "pub_posix")
+    had_root = str(tmp_path / "pub_hadoop")
+    for i in range(3):
+        df = spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("v"))
+        publish_atomic(df, posix_root, keep_versions=2)
+        publish_atomic(df, had_root, keep_versions=2, backend="hadoop")
+    a = sorted(r.v for r in read_published(spark, posix_root).collect())
+    b = sorted(r.v for r in
+               read_published(spark, had_root, backend="hadoop").collect())
+    assert a == b == list(range(20, 30))
+    # retention pruned both layouts to keep_versions dirs; the hadoop
+    # layout also pruned the matching markers
+    vdirs = [d for d in os.listdir(had_root) if d.startswith("v=")]
+    # ChecksumFileSystem leaves .crc sidecars; the reader (and this
+    # assertion) consider only m-* names
+    marks = [m for m in os.listdir(os.path.join(had_root, "_markers"))
+             if m.startswith("m-")]
+    assert len(vdirs) == 2 and sorted(marks) == ["m-00000001", "m-00000002"]
+    # an empty (crashed-mid-create) marker that sorts HIGHEST is
+    # skipped, not fatal
+    open(os.path.join(had_root, "_markers", "m-99999999"), "w").close()
+    assert sorted(
+        r.v for r in read_published(spark, had_root,
+                                    backend="hadoop").collect()
+    ) == a
+    # a stale marker pointing at a pruned version is skipped too
+    with open(os.path.join(had_root, "_markers", "m-99999998"), "w") as f:
+        f.write("v=00000000")
+    assert sorted(
+        r.v for r in read_published(spark, had_root,
+                                    backend="hadoop").collect()
+    ) == a
+    # snapshot context manager on the hadoop route
+    with published_snapshot(spark, had_root, backend="hadoop") as df:
+        assert df.count() == 10
