@@ -106,25 +106,16 @@ def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-# one persisted ngram-Jaccard pair DF per (session, sf_dir):
-# dedup_clusters and curate both consume the SAME AllPairs prefix join
-# (defaults k=3, t=0.8) — computing it twice was ~16 s of the 71 s
-# bench (r5 verdict #4). Same re-persist discipline as _mentions.
-_NGRAM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
-def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gliner_spark.operators.dedup import ngram_jaccard_dups
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _NGRAM_PAIRS_CACHE:
-        _NGRAM_PAIRS_CACHE[key] = ngram_jaccard_dups(
-            _documents(spark, sf_dir)
-        )
-    df = _NGRAM_PAIRS_CACHE[key]
-    if not df.is_cached:
-        df.persist()
-    return df
+# NOTE (r5 verdict #4, resolved the other way): dedup_clusters and
+# curate do share the same AllPairs pair computation, but a shared
+# persisted pair DF per (session, sf_dir) was MEASURED to pessimize:
+# the cache materializes (src, dst, sim) behind a barrier that blocks
+# column pruning into the verify join, costs its own ~4 s
+# materialization after every bench clearCache, and pushed curate
+# 2.8 s → 11.5 s at sf0.1. Inline pairs let Catalyst prune into the
+# join and each query pays one fused pass (~2.5-4 s); the r5-recorded
+# 8.4 s + 7.3 s reproduce as post-40-query session state + ambient
+# load, not plan cost (BASELINE.md r6 reconciliation).
 
 
 def q_ner_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,10 +248,7 @@ def q_dedup_clusters(spark, sf_dir):
     # pair source at scale (same output — pairs are exact-verified).
     from gliner_spark.operators.dedup import near_dup_clusters
 
-    return near_dup_clusters(
-        _documents(spark, sf_dir),
-        pairs_fn=lambda docs: _ngram_pairs(spark, sf_dir),
-    )
+    return near_dup_clusters(_documents(spark, sf_dir))
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -593,10 +581,7 @@ def q_bucketed_join(spark, sf_dir):
 
 
 def q_curate(spark, sf_dir):
-    return curate(
-        _documents(spark, sf_dir),
-        pair_source=lambda docs, threshold: _ngram_pairs(spark, sf_dir),
-    )
+    return curate(_documents(spark, sf_dir))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,6 +58,11 @@ LEGACY = {
     "quality",
     "lang_id", "fingerprints", "sessionize", "hourly_rollup", "mm_meta",
     "kg_pipeline",
+    # r6: the two AllPairs consumers get min-of-2 too — their r5 single
+    # runs (8.4 s / 7.3 s) reproduced in isolation at 2.3-3.9 s, i.e.
+    # the recorded numbers were session/ambient noise, exactly the
+    # swing min-of-2 exists to absorb (BASELINE.md r6 reconciliation)
+    "dedup_clusters", "curate",
 }
 
 SCALING_QUERY = "kg_pipeline"  # flagship job on the sf dir
