@@ -308,7 +308,12 @@ def main() -> None:
 
     for _ in range(n_spawns):
         _window()
-    while _efficiency() < target and len(windows) < max_spawns:
+    # extend on BOTH suspicious sides: below target (a burst inflated
+    # t_4n) and above 1.0 (superlinear is impossible for this job — it
+    # means t_n never saw a calm window and the ratio flatters; more
+    # windows can only pull min(t_n) down toward truth)
+    while (_efficiency() < target or _efficiency() > 1.0) \
+            and len(windows) < max_spawns:
         _window()
     t_lo = lo["queries"][SCALE_JOB]
     t_hi = hi["queries"][SCALE_JOB]
@@ -424,7 +429,8 @@ def _write_bench_md(r: dict) -> None:
         "Measurement protocol & stability: each level is spawned in "
         "interleaved JVM windows (3 minimum, extended SYMMETRICALLY — "
         "both levels per extra round — up to 7 while the estimate sits "
-        "below 0.82), min-of-two timed runs per window, min over "
+        "below 0.82 or above the physically-impossible 1.0), "
+        "min-of-two timed runs per window, min over "
         "windows per level. Ambient co-tenant contention on this "
         "container is strictly additive (it only slows runs), so the "
         "min-estimator converges to true runtime from above; the "
