@@ -360,7 +360,7 @@ class MiniOnnxSession:
                         "by MiniOnnxSession — install onnxruntime"
                     )
                 ok = allowed[k]
-                if ok is not None and int(v) not in ok:
+                if ok is not None and v not in ok:
                     raise NotImplementedError(
                         f"{n.op_type} {k}={v!r} not implemented by "
                         "MiniOnnxSession (supported: "
@@ -530,6 +530,44 @@ def _op_reduce_mean(node, x, axes=None):
         .astype(x.dtype)
 
 
+def _op_reduce_sum(node, x, axes=None):
+    ax = node.attrs.get("axes")
+    if axes is not None:  # opset-13: axes as input
+        ax = _np_axes(axes)
+    keep = bool(node.attrs.get("keepdims", 1))
+    return np.sum(x, axis=tuple(ax) if ax else None, keepdims=keep) \
+        .astype(x.dtype)
+
+
+def _op_split(node, x, split=None):
+    axis = int(node.attrs.get("axis", 0))
+    if split is not None:  # opset-13: sizes as input
+        sizes = _np_axes(split)
+    elif "split" in node.attrs:
+        sizes = [int(s) for s in node.attrs["split"]]
+    else:  # equal split across declared outputs
+        n = len(node.outputs)
+        if x.shape[axis] % n:
+            raise ValueError(
+                f"Split: dim {x.shape[axis]} not divisible by {n}"
+            )
+        sizes = [x.shape[axis] // n] * n
+    return tuple(np.split(x, np.cumsum(sizes)[:-1], axis=axis))
+
+
+def _op_clip(node, x, lo=None, hi=None):
+    return np.clip(
+        x,
+        None if lo is None else np.asarray(lo),
+        None if hi is None else np.asarray(hi),
+    ).astype(x.dtype)
+
+
+def _op_gelu(node, x):
+    # opset-20 Gelu; approximate='none' (exact erf form) is whitelisted
+    return (0.5 * x * (1.0 + _ERF(x / np.sqrt(2.0)))).astype(x.dtype)
+
+
 _ERF = np.vectorize(__import__("math").erf)
 
 
@@ -570,6 +608,15 @@ _OPS = {
     "Exp": lambda n, x: np.exp(x),
     "Log": lambda n, x: np.log(x),
     "Neg": lambda n, x: -x,
+    "Abs": lambda n, x: np.abs(x),
+    # functools.reduce, not ufunc.reduce: the variadic inputs may have
+    # broadcastable-but-different shapes (ufunc.reduce would stack)
+    "Min": lambda n, *xs: __import__("functools").reduce(np.minimum, xs),
+    "Max": lambda n, *xs: __import__("functools").reduce(np.maximum, xs),
+    "ReduceSum": _op_reduce_sum,
+    "Split": _op_split,
+    "Clip": _op_clip,
+    "Gelu": _op_gelu,
 }
 
 
@@ -599,6 +646,10 @@ _ATTR_OK: Dict[str, Dict[str, object]] = {
     "Softmax": {"axis": None},
     "LayerNormalization": {"axis": None, "epsilon": None,
                            "stash_type": frozenset({1})},
+    "ReduceSum": {"axes": None, "keepdims": None,
+                  "noop_with_empty_axes": frozenset({0})},
+    "Split": {"axis": None, "split": None},
+    "Gelu": {"approximate": frozenset({"none"})},  # tanh approx differs
 }
 
 

@@ -406,3 +406,40 @@ def test_mini_transformer_block_end_to_end(tmp_path):
     assert got.shape == (T, d) and got.dtype == np.float32
     # fp32 weights vs fp64 reference: tolerance covers the downcast
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+def test_split_clip_reducesum_gelu_ops():
+    """The r6 op-set widening (Split/Clip/ReduceSum/Min/Max/Abs plus a
+    native opset-20 Gelu) executes against numpy semantics, and the
+    tanh-approximate Gelu — whose values DIFFER from the erf form the
+    executor implements — is rejected at construction."""
+    x = np.arange(12, dtype=np.float32).reshape(3, 4) - 5.0
+    data = serialize_model(
+        nodes=[
+            ("Split", ["x"], ["a", "b"], {"axis": 1}),
+            ("Clip", ["a", "lo", "hi"], ["ac"], None),
+            ("ReduceSum", ["ac"], ["s"], {"axes": [1], "keepdims": 0}),
+            ("Gelu", ["b"], ["g"], {"approximate": "none"}),
+            ("Abs", ["g"], ["ga"], None),
+            ("Max", ["ga", "lo"], ["y"], None),
+        ],
+        initializers={
+            "lo": np.asarray(0.5, dtype=np.float32),
+            "hi": np.asarray(3.0, dtype=np.float32),
+        },
+        inputs=["x"], outputs=["s", "y"],
+    )
+    s, y = MiniOnnxSession(data).run(None, {"x": x})
+    a, b = x[:, :2], x[:, 2:]
+    want_s = np.clip(a, 0.5, 3.0).sum(axis=1)
+    gelu = 0.5 * b * (1.0 + np.vectorize(math.erf)(b / np.sqrt(2.0)))
+    want_y = np.maximum(np.abs(gelu), 0.5)
+    np.testing.assert_allclose(s, want_s, rtol=1e-6)
+    np.testing.assert_allclose(y, want_y, rtol=1e-5, atol=1e-6)
+
+    bad = serialize_model(
+        nodes=[("Gelu", ["x"], ["y"], {"approximate": "tanh"})],
+        initializers={}, inputs=["x"], outputs=["y"],
+    )
+    with pytest.raises(NotImplementedError, match="approximate"):
+        MiniOnnxSession(bad)
