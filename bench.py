@@ -63,6 +63,10 @@ LEGACY = {
     # the recorded numbers were session/ambient noise, exactly the
     # swing min-of-2 exists to absorb (BASELINE.md r6 reconciliation)
     "dedup_clusters", "curate",
+    # r6: the two largest tail rows — single runs recorded 9.8-25.5 s
+    # (dedup_embedding) and 10.3-17.1 s (dedup_admit) across two
+    # same-code benches purely on ambient load
+    "dedup_embedding", "dedup_admit",
 }
 
 SCALING_QUERY = "kg_pipeline"  # flagship job on the sf dir
@@ -281,7 +285,7 @@ def main() -> None:
     # (and the efficiency estimate) toward the true value, never past
     # it in expectation.
     n_spawns = int(os.environ.get("BENCH_SCALE_SPAWNS", "3"))
-    max_spawns = int(os.environ.get("BENCH_SCALE_MAX_SPAWNS", "7"))
+    max_spawns = int(os.environ.get("BENCH_SCALE_MAX_SPAWNS", "9"))
     target = float(os.environ.get("BENCH_SCALE_TARGET", "0.82"))
     lo = hi = None
     windows: list[dict] = []
@@ -364,6 +368,17 @@ def main() -> None:
             "pages_per_sec_4n": round(thr_hi, 1),
             "triples_per_sec_4n": round(n_scale_triples / t_hi, 1),
             "efficiency": efficiency,
+            # diagnostic twin: best SAME-WINDOW ratio. Under sustained
+            # co-tenant load the 8-core job inflates more than the
+            # 2-core job (any stolen core extends its critical path
+            # directly), so min/min across windows biases DOWN until a
+            # calm t_4n window occurs; the same-window ratio cancels
+            # load common to both levels of one window and biases the
+            # other way. Truth sits between them — a gap between the
+            # two fields IS the load-contamination signal.
+            "eff_same_window": max(
+                round(w["t_n"] / (4 * w["t_4n"]), 3) for w in windows
+            ),
             "windows": len(windows),
         },
         "parity": parity,
@@ -424,11 +439,16 @@ def _write_bench_md(r: dict) -> None:
         f"| {s['cores_4n']} | {s['sec_4n']} | {s['pages_per_sec_4n']} |",
         "",
         f"**Scaling efficiency = {s['efficiency']}** "
-        "(target ≥ 0.8, BASELINE.json:north_rule).",
+        "(target ≥ 0.8, BASELINE.json:north_rule); best same-window "
+        f"ratio {s.get('eff_same_window', '—')} (the two estimators "
+        "bracket the truth — min/min biases down under sustained load "
+        "because the 8-core job is the load-sensitive one, the "
+        "same-window ratio cancels shared load and biases up; a gap "
+        "between them is the load-contamination signal).",
         "",
         "Measurement protocol & stability: each level is spawned in "
         "interleaved JVM windows (3 minimum, extended SYMMETRICALLY — "
-        "both levels per extra round — up to 7 while the estimate sits "
+        "both levels per extra round — up to 9 while the estimate sits "
         "below 0.82 or above the physically-impossible 1.0), "
         "min-of-two timed runs per window, min over "
         "windows per level. Ambient co-tenant contention on this "
