@@ -163,6 +163,36 @@ def main() -> int:
          "MapInPandas": False, "*(": True},
     )
 
+    # 8b. incremental admission scale shape, structurally: (a) the
+    # signature pass is pure Catalyst with ONE data shuffle (the
+    # map-side-combined 128-min agg — only id→mins cross the wire),
+    # (b) the persisted store schema is exactly (doc_id, sig): the
+    # state a 10^12-doc admission re-reads carries no text by
+    # CONSTRUCTION, not by pruning
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    from gliner_spark.plans.incremental import (
+        batch_minhash_signatures,
+        dedup_admit_batch,
+    )
+
+    p = executed_plan_of(batch_minhash_signatures(docs.limit(50)))
+    bad += not check(
+        "batch_minhash_signatures (one agg shuffle, no Python)",
+        p,
+        {"ArrowEvalPython": False, "BatchEvalPython": False,
+         "MapInPandas": False, "partial_min": True},
+    )
+    adm_store = tempfile.mkdtemp(prefix="gs_plan_admit_")
+    dedup_admit_batch(docs.where(_F.col("doc_id") % 2 == 0), adm_store)
+    store_cols = spark.read.parquet(adm_store).columns
+    store_ok = store_cols == ["doc_id", "sig"]
+    print(f"  [{'OK ' if store_ok else 'BAD'}] admission store schema "
+          f"== [doc_id, sig] -> {store_cols}")
+    bad += not store_ok
+
     # 9. TPC-H-style join: small dim broadcast without hints
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     cust = spark.read.parquet(f"{SF}/customer.parquet")
