@@ -229,6 +229,8 @@ def q_dedup_admit(spark, sf_dir):
 
     from gliner_spark.plans.incremental import dedup_admit_batch
 
+    import shutil
+
     docs = _documents(spark, sf_dir)
     store = tempfile.mkdtemp(prefix="gs_admit_")
     out = []
@@ -238,6 +240,10 @@ def q_dedup_admit(spark, sf_dir):
         )
         out.append(v.select(F.lit(batch).cast("long").alias("batch"),
                             "doc_id", "dup_of", "keep"))
+    # verdicts are localCheckpoint-pinned inside dedup_admit_batch, so
+    # the per-call store is never read again — drop it instead of
+    # leaving one tempdir per gate/bench invocation
+    shutil.rmtree(store, ignore_errors=True)
     return out[0].unionByName(out[1])
 
 

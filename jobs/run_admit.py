@@ -6,7 +6,15 @@
         --input /path/or/s3/new_batch_parquet \\
         --store /path/or/s3/minhash_sig_store \\
         --verdicts /path/or/s3/verdicts_out \\
-        [--threshold 0.8] [--n-perms 128] [--bands 32] [--k 3]
+        [--threshold 0.8] [--n-perms 128] [--bands 32] [--k 3] \\
+        [--stream --checkpoint /path/ckpt]
+
+With ``--stream`` the input directory is consumed as a Structured
+Streaming file source (availableNow — drains what exists, then stops):
+each arriving parquet file admits as its own micro-batch through
+``streaming.admit_stream.stream_admissions``, verdicts land
+epoch-partitioned, and the source checkpoint makes restarts re-admit
+nothing (streaming test pins stream ≡ sequential batch admission).
 
 The operational form of ``plans.incremental.dedup_admit_batch``: the
 batch dedups against EVERY previously admitted document via the
@@ -35,6 +43,8 @@ def main() -> None:
     ap.add_argument("--n-perms", type=int, default=128)
     ap.add_argument("--bands", type=int, default=32)
     ap.add_argument("--k", type=int, default=3)
+    ap.add_argument("--stream", action="store_true")
+    ap.add_argument("--checkpoint", default=None)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -43,6 +53,25 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     from gliner_spark.plans.incremental import dedup_admit_batch
+
+    if args.stream:
+        from gliner_spark.streaming.admit_stream import stream_admissions
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(args.input).schema
+        ).option("maxFilesPerTrigger", 1).parquet(args.input)
+        q = stream_admissions(
+            stream, args.store, args.verdicts,
+            args.checkpoint or args.verdicts + "_ckpt",
+            k=args.k, n_perms=args.n_perms, bands=args.bands,
+            threshold=args.threshold,
+        ).start()
+        q.awaitTermination()
+        v = spark.read.parquet(args.verdicts)
+        print(f"admitted (stream): {v.where('keep').count()}/{v.count()} "
+              f"-> store {args.store}, verdicts {args.verdicts}")
+        spark.stop()
+        return
 
     batch = spark.read.parquet(args.input)
     verdict = dedup_admit_batch(

@@ -233,3 +233,68 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     # within a batch min doc_id wins
     assert by_text["alpha beta"] in ("1", "4")
     assert by_text["gamma delta"] in ("2", "6")
+
+
+def test_stream_admissions_matches_batch_admission(spark, tmp_path):
+    """Streaming admission ≡ sequential batch admission: documents
+    arriving across micro-batches produce the same verdicts and the
+    same final signature store as feeding the same batches to
+    dedup_admit_batch by hand, and a stream RESTART over the same
+    source admits nothing new (source checkpoint + left-anti store
+    guard)."""
+    from pyspark.sql import functions as F
+
+    from gliner_spark.plans.incremental import dedup_admit_batch
+    from gliner_spark.streaming.admit_stream import stream_admissions
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mk = lambda i: (i, f"{base} d{i}a d{i}b d{i}c d{i}d")  # noqa: E731
+    txt = lambda i: mk(i)[1]  # noqa: E731
+    # file 0: 3 distinct + 1 exact dup; file 1: dup-of-old + fresh
+    batches = [
+        [mk(1), mk(2), mk(3), (11, txt(1))],
+        [(20, txt(2)), mk(21)],
+    ]
+    src = str(tmp_path / "docs_src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "sig_store")
+    verdicts = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_admissions(stream, store, verdicts, ckpt).start()
+    q.awaitTermination()
+
+    got = {r.doc_id: (r.dup_of, r.keep)
+           for r in spark.read.parquet(verdicts).collect()}
+    # reference: hand-fed sequential admission over the same batches.
+    # NOTE maxFilesPerTrigger=1 makes each parquet file one micro-batch
+    # in write order, so the sequential reference is well-defined.
+    ref_store = str(tmp_path / "ref_store")
+    ref = {}
+    for rows in batches:
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        for r in dedup_admit_batch(b, ref_store).collect():
+            ref[r.doc_id] = (r.dup_of, r.keep)
+    assert got == ref
+    assert got[11] == (1, False) and got[20] == (2, False)
+    assert got[21] == (None, True)
+
+    stored = {r.doc_id for r in spark.read.parquet(store).collect()}
+    ref_stored = {r.doc_id for r in spark.read.parquet(ref_store).collect()}
+    assert stored == ref_stored == {1, 2, 3, 21}
+
+    # restart over the same source: nothing new admitted, verdicts and
+    # store unchanged
+    q2 = stream_admissions(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        store, verdicts, ckpt,
+    ).start()
+    q2.awaitTermination()
+    assert {r.doc_id: (r.dup_of, r.keep)
+            for r in spark.read.parquet(verdicts).collect()} == got
+    assert {r.doc_id for r in
+            spark.read.parquet(store).collect()} == stored

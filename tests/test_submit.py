@@ -150,3 +150,28 @@ def test_spark_submit_admit_job(spark, tmp_path):
     assert v2 == {10: (1, False), 11: (None, True)}  # store suppressed 10
     assert "admitted: 1/2" in out2
     assert spark.read.parquet(store).count() == 3
+
+    # --stream: the same entrypoint drains a directory as a file
+    # stream (availableNow), one micro-batch per file, against the
+    # SAME store — a dup of an already-admitted doc is suppressed
+    # cross-mode, and verdicts land epoch-partitioned
+    src = str(tmp_path / "c_in")
+    out = str(tmp_path / "c_verdicts")
+    for i, rows in enumerate([[(20, txt(2))], [(21, txt(21))]]):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src)
+    res = subprocess.run(
+        [submit, "--master", "local[2]", "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "run_admit.py"),
+         "--input", src, "--store", store, "--verdicts", out,
+         "--stream"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    v3 = {r.doc_id: (r.dup_of, r.keep, r.epoch)
+          for r in spark.read.parquet(out).collect()}
+    assert v3[20][:2] == (2, False) and v3[21][:2] == (None, True)
+    assert {v3[20][2], v3[21][2]} == {0, 1}  # one epoch per file
+    assert "admitted (stream): 1/2" in res.stdout
+    assert spark.read.parquet(store).count() == 4
