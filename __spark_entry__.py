@@ -233,18 +233,21 @@ def q_dedup_admit(spark, sf_dir):
 
     docs = _documents(spark, sf_dir)
     store = tempfile.mkdtemp(prefix="gs_admit_")
-    out = []
-    for batch, parity in ((1, 0), (2, 1)):
-        v = dedup_admit_batch(
-            docs.where(F.col("doc_id") % 2 == parity), store
-        )
-        out.append(v.select(F.lit(batch).cast("long").alias("batch"),
-                            "doc_id", "dup_of", "keep"))
-    # verdicts are localCheckpoint-pinned inside dedup_admit_batch, so
-    # the per-call store is never read again — drop it instead of
-    # leaving one tempdir per gate/bench invocation
-    shutil.rmtree(store, ignore_errors=True)
-    return out[0].unionByName(out[1])
+    try:
+        out = []
+        for batch, parity in ((1, 0), (2, 1)):
+            v = dedup_admit_batch(
+                docs.where(F.col("doc_id") % 2 == parity), store
+            )
+            out.append(v.select(
+                F.lit(batch).cast("long").alias("batch"),
+                "doc_id", "dup_of", "keep"))
+        return out[0].unionByName(out[1])
+    finally:
+        # verdicts are localCheckpoint-pinned inside dedup_admit_batch,
+        # so the per-call store is never read again — drop it (also on
+        # failure) instead of leaving tempdirs behind
+        shutil.rmtree(store, ignore_errors=True)
 
 
 def q_dedup_clusters(spark, sf_dir):

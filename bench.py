@@ -1,9 +1,12 @@
 """Benchmark harness (driver contract + BASELINE.md scaling protocol).
 
-Prints ONE JSON line:
+The FINAL stdout line is the compact machine-readable contract
+(kept well under the driver's 2 KB tail capture):
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "throughput": {...},
-   "scaling": {...}, "parity": {...}}
+   "scaling": {...}, "parity": {...}[, "errors": {...}]}
+One earlier `BENCH_DETAIL {...}` line carries the bulky sub-reports
+(per-window scaling detail, salt probe, full error reprs).
 
 Modes:
   python bench.py                 # full: headline timings at
@@ -310,13 +313,25 @@ def main() -> None:
             lo["queries"][SCALE_JOB] / (4 * hi["queries"][SCALE_JOB]), 3
         )
 
+    def _stable(key: str) -> bool:
+        # the running minimum is credible once a SECOND window lands
+        # within 5% of it — evidence the floor, not a lucky calm blip
+        vals = sorted(w[key] for w in windows)
+        return len(vals) >= 2 and vals[1] <= vals[0] * 1.05
+
     for _ in range(n_spawns):
         _window()
-    # extend on BOTH suspicious sides: below target (a burst inflated
-    # t_4n) and above 1.0 (superlinear is impossible for this job — it
-    # means t_n never saw a calm window and the ratio flatters; more
-    # windows can only pull min(t_n) down toward truth)
-    while (_efficiency() < target or _efficiency() > 1.0) \
+    # Extension rule (r6): outcome-INDEPENDENT stability of both
+    # minima, not the value of the ratio. Stopping when the estimate
+    # merely looks good is optional stopping — it preferentially
+    # records ratios inflated by an unconverged min(t_n), biasing the
+    # gate quantity upward near the threshold. Replication of each
+    # level's minimum is a stopping criterion the estimate's value
+    # cannot game; the below-target / above-1.0 conditions only ever
+    # ADD windows (they never stop early), which converges toward
+    # truth, never past it.
+    while ((not (_stable("t_n") and _stable("t_4n")))
+           or _efficiency() < target or _efficiency() > 1.0) \
             and len(windows) < max_spawns:
         _window()
     t_lo = lo["queries"][SCALE_JOB]
@@ -385,6 +400,11 @@ def main() -> None:
     }
     detail = {"scale_windows": windows}
     if headline.get("errors"):
+        # a failing query must stay visible on the CONTRACT line (its
+        # timing is missing from "queries", silently lowering the
+        # total otherwise); full reprs ride the detail line
+        result["errors"] = {k: v[:80]
+                            for k, v in headline["errors"].items()}
         detail["errors"] = headline["errors"]
     if salt_probe is not None:
         detail["salt_probe"] = salt_probe

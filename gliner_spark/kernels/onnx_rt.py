@@ -556,6 +556,8 @@ def _op_split(node, x, split=None):
 
 
 def _op_clip(node, x, lo=None, hi=None):
+    if lo is None and hi is None:  # spec: no bounds -> identity
+        return x
     return np.clip(
         x,
         None if lo is None else np.asarray(lo),

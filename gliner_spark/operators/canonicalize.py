@@ -294,7 +294,12 @@ def connected_components_star(
     pinned = None
     if driver_threshold > 0:
         pinned = edges.persist()
-        probe = pinned.select(
+        # self-loops dropped BEFORE the union-find, matching the
+        # iteration's _symmetric(u != v) filter — otherwise the output
+        # node universe would depend on which side of the threshold
+        # the graph lands (a node whose only edge is (n, n) appears as
+        # a singleton from the union-find but not from the iteration)
+        probe = pinned.where(F.col(src) != F.col(dst)).select(
             F.col(src).alias("a"), F.col(dst).alias("b")
         ).limit(driver_threshold + 1).collect()
         if len(probe) <= driver_threshold:

@@ -54,20 +54,18 @@ def _manifest_path(root: str) -> str:
 
 
 def _posix_root(root: str) -> str | None:
-    """Non-raising twin of ``sinks._local_path``: the POSIX path for a
-    plain or ``file://`` root, None for genuinely remote schemes. Used
-    where local-only maintenance (compaction recovery) must engage for
-    every root the POSIX ops can reach — a ``file://`` root that
-    crashed mid-compaction would otherwise read back as an EMPTY
-    manifest (silent full recompute instead of resume, r5 ADVICE)."""
-    if "://" not in root:
-        return root
-    from urllib.parse import urlparse
+    """The POSIX path for a plain or ``file://`` root, None for
+    genuinely remote schemes — the fsio dispatch rule, not a second
+    copy of it. Used where local-only maintenance (compaction
+    recovery) must engage for every root the POSIX ops can reach — a
+    ``file://`` root that crashed mid-compaction would otherwise read
+    back as an EMPTY manifest (silent full recompute instead of
+    resume, r5 ADVICE)."""
+    from .fsio import PosixFs, backend_for
 
-    u = urlparse(root)
-    if u.scheme in ("", "file") and not u.netloc:
-        return u.path
-    return None
+    if backend_for(root) != "posix":
+        return None
+    return PosixFs().normalize(root)
 
 
 def read_manifest(spark: SparkSession, root: str, stage: str) -> DataFrame:

@@ -53,7 +53,16 @@ class PosixFs:
     def normalize(self, path: str) -> str:
         if "://" not in path:
             return path
-        return urlparse(path).path
+        u = urlparse(path)
+        if u.scheme in ("", "file") and not u.netloc:
+            return u.path
+        # refuse to strip a REAL scheme down to its bare path: callers
+        # forcing backend="posix" on s3a://bucket/x would otherwise
+        # silently operate on local /x — the exact local/remote
+        # split-brain the scheme guard exists to prevent
+        raise ValueError(
+            f"PosixFs cannot handle {path!r}; use the hadoop backend"
+        )
 
     def exists(self, p: str) -> bool:
         return os.path.exists(p)

@@ -94,22 +94,26 @@ def cap_per_host(
     with AQE's skew-split dividing what remains."""
     from pyspark.sql import Window
 
-    host = url_host(F.col(url_col)).alias("host")
-    tagged = pages.select("*", host)
-    counts = tagged.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
-    over = counts.where(F.col("_n") > cap).select("host")
+    # collision-safe internal key: the input may already carry a
+    # "host" column (e.g. with_url_parts output) — a bare "host" here
+    # would make the groupBy/joins ambiguous and the final drop would
+    # eat the caller's column
+    hk = "_cap_host"
+    tagged = pages.select("*", url_host(F.col(url_col)).alias(hk))
+    counts = tagged.groupBy(hk).agg(F.count(F.lit(1)).alias("_n"))
+    over = counts.where(F.col("_n") > cap).select(hk)
 
-    small = tagged.join(over, "host", "left_anti")
-    w = Window.partitionBy("host").orderBy(
+    small = tagged.join(over, hk, "left_anti")
+    w = Window.partitionBy(hk).orderBy(
         F.desc(_quality(text_col)), F.col(url_col)
     )
     big = (
-        tagged.join(over, "host")
+        tagged.join(over, hk)
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= cap)
         .drop("_rn")
     )
-    return small.unionByName(big).drop("host")
+    return small.unionByName(big).drop(hk)
 
 
 def _quality(text_col: str):

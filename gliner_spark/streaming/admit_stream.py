@@ -43,22 +43,19 @@ def stream_admissions(
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
         v = dedup_admit_batch(batch_df, store_dir, **admit_kwargs)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                              "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
-        try:
-            (
-                v.withColumn("epoch", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .partitionBy("epoch")
-                .parquet(verdicts_dir)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           prev)
+        (
+            v.withColumn("epoch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            # WRITER-scoped dynamic overwrite, not the session conf: a
+            # session-global toggle races with any concurrent query in
+            # the same session — another writer restoring "static"
+            # before this job executes would turn the epoch-partition
+            # replace into a full-directory wipe of every prior epoch
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(verdicts_dir)
+        )
 
     return (
         docs_stream.writeStream

@@ -203,6 +203,17 @@ def test_star_cc_matches_hashmin(spark):
         for r in connected_components_star(df).collect()
     }
     assert adaptive == hashmin
+    # star semantics are size-INDEPENDENT for self-loops too: the
+    # iteration's symmetrize drops (n, n), so the driver shortcut must
+    # as well — the output node universe must not change with
+    # driver_threshold (r6 review finding)
+    looped = spark.createDataFrame(
+        edges + [("solo", "solo")], "src string, dst string")
+    small_path = {r.node for r in
+                  connected_components_star(looped).collect()}
+    iter_path = {r.node for r in connected_components_star(
+        looped, driver_threshold=0).collect()}
+    assert small_path == iter_path and "solo" not in small_path
 
 
 def test_embeddings_and_cosine_links(spark):

@@ -210,4 +210,9 @@ SELECT url FROM r WHERE rn <= 3""").fetchall()}
     assert capped == naive == ducked
     # the hot-domain corpus actually exercises the over-cap branch
     assert len(capped) < pages.count()
+    # collision safety: input already carrying a host column (e.g.
+    # with_url_parts output) must neither be ambiguous nor lose it
+    enriched = cap_per_host(with_url_parts(pages), 3)
+    assert "host" in enriched.columns
+    assert {r.url for r in enriched.collect()} == capped
     pages.unpersist()

@@ -185,9 +185,15 @@ def main() -> int:
         {"ArrowEvalPython": False, "BatchEvalPython": False,
          "MapInPandas": False, "partial_min": True},
     )
+    import shutil
+
     adm_store = tempfile.mkdtemp(prefix="gs_plan_admit_")
-    dedup_admit_batch(docs.where(_F.col("doc_id") % 2 == 0), adm_store)
-    store_cols = spark.read.parquet(adm_store).columns
+    try:
+        dedup_admit_batch(docs.where(_F.col("doc_id") % 2 == 0),
+                          adm_store)
+        store_cols = spark.read.parquet(adm_store).columns
+    finally:
+        shutil.rmtree(adm_store, ignore_errors=True)
     store_ok = store_cols == ["doc_id", "sig"]
     print(f"  [{'OK ' if store_ok else 'BAD'}] admission store schema "
           f"== [doc_id, sig] -> {store_cols}")
