@@ -1,0 +1,203 @@
+"""Temporal operators over recrawled web pages and time-stamped triples.
+
+The north-rule input is a Common-Crawl-style pages table carrying
+``warc_ts`` (BASELINE.json:input_hint) — real crawls revisit URLs, so a
+KG builder needs the time axis: pick the authoritative snapshot per
+url, detect content churn between crawls, join each page against the
+dictionary version that was current AT ITS crawl time, and track when a
+triple was first/last asserted. The reference engine is snapshot-blind
+(one text in, spans out — /root/reference/src/model.cpp), so this is
+pipeline-extension surface; every operator here has a DuckDB twin in
+tests/test_graph_temporal.py (the as-of join is checked against
+DuckDB's native ASOF JOIN).
+
+Scale notes (10^12-row posture):
+
+* ``latest_snapshot`` is a groupBy max(struct) — partial-aggregated
+  map-side, ONE shuffle, no window (a row_number window would force
+  every snapshot of a hot url through one task's sort; max(struct)
+  combines map-side so hot urls cost one row per map task);
+* ``asof_join`` is the union-tag trick: one sort-shuffle on the key,
+  NO range-expanded join and no per-key quadratic blowup — per-key
+  cost is the number of rows for that key, and the window is a
+  running ``last(ignorenulls)`` which Tungsten evaluates in one pass
+  over the sorted run. Hot keys therefore cost O(occurrences), the
+  same as any sort — acceptable; a 30%-hot single key would need the
+  salted two-phase variant documented in operators/skew.py;
+* ``crawl_diff`` partitions by url; per-url snapshot counts are
+  crawl-frequency-bounded (tens, not millions), so the window sort
+  buffer is bounded by policy, not by corpus size;
+* ``triple_validity`` / ``kg_asof`` are partial-aggregated groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def synthesize_recrawls(
+    spark: SparkSession, n_urls: int = 200, max_snaps: int = 5, seed: int = 7
+) -> DataFrame:
+    """Deterministic recrawl corpus: each url gets 1..max_snaps
+    snapshots at distinct hourly timestamps; content mutates on a
+    seeded ~40% of revisits (so diff sees new/changed/unchanged).
+    Built with range + hash arithmetic — synthesis itself distributes.
+    """
+    base = spark.range(0, n_urls * max_snaps).select(
+        (F.col("id") % n_urls).alias("uid"),
+        (F.col("id") / n_urls).cast("int").alias("snap"),
+    )
+    h = F.abs(F.xxhash64("uid", F.lit(seed)))
+    keep = base.where(F.col("snap") < (h % max_snaps + 1))
+    # content version: increments on ~40% of revisits, else sticks
+    bump = F.when(
+        (F.abs(F.xxhash64("uid", "snap", F.lit(seed + 1))) % 10 < 4)
+        | (F.col("snap") == 0),
+        1,
+    ).otherwise(0)
+    w = Window.partitionBy("uid").orderBy("snap")
+    ver = F.sum(bump).over(w)
+    return keep.select(
+        F.concat(F.lit("https://site-"), F.col("uid").cast("string"),
+                 F.lit(".example/")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-05-01 00:00:00"))
+            + F.make_interval(hours=F.col("snap"))
+        ).alias("warc_ts"),
+        F.concat(
+            F.lit("content of url "), F.col("uid").cast("string"),
+            F.lit(" version "), ver.cast("string"),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def latest_snapshot(
+    pages: DataFrame, key: str = "url", ts: str = "warc_ts"
+) -> DataFrame:
+    """Authoritative snapshot per url: the max-``ts`` row, ties broken
+    by the lexicographically greatest remaining payload (deterministic).
+
+    ONE partial-aggregated shuffle: groupBy(key).max(struct(ts,
+    payload...)) — struct comparison orders by ts first, then by the
+    payload fields, so the winner is total-ordered even on ts ties.
+    Column order of the output matches the input.
+    """
+    payload = [c for c in pages.columns if c != key]
+    ordered = [ts] + [c for c in payload if c != ts]
+    packed = pages.groupBy(key).agg(
+        F.max(F.struct(*[F.col(c) for c in ordered])).alias("_w")
+    )
+    return packed.select(
+        key, *[F.col(f"_w.{c}").alias(c) for c in ordered]
+    ).select(*pages.columns)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` on the same key (inclusive as-of — DuckDB
+    ``ASOF JOIN`` semantics); left rows with no prior right row get
+    nulls (LEFT variant).
+
+    Union-tag plan: tag right rows 0 and left rows 1, sort each key
+    partition by (ts, tag) — the tag places a right row BEFORE a left
+    row at the same instant, giving the inclusive bound — then carry
+    the last non-null right payload forward with one running
+    last(ignorenulls) window and keep the left rows. One sort-shuffle
+    on ``key``; no range join, no per-key cross product.
+
+    Right payload columns are suffixed ``_r`` when they collide with a
+    left column (``right_ts`` always lands as its own column).
+    """
+    rpay = [c for c in right.columns if c != key]
+    rename = {
+        c: (c + "_r" if c in left.columns and c != right_ts else c) for c in rpay
+    }
+    if right_ts in left.columns:
+        rename[right_ts] = right_ts + "_r"
+    packed_right = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.struct(
+            *[F.col(c).alias(rename[c]) for c in rpay]
+        ).alias("_rp"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c != key],
+    )
+    packed_left = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(packed_right.schema["_rp"].dataType).alias("_rp"),
+        *[F.col(c) for c in left.columns if c != key],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols = [key] + [c for c in left.columns if c != key]
+    carried = packed_right.unionByName(packed_left).withColumn(
+        "_match", F.last("_rp", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("_tag") == 1).select(
+        *out_cols,
+        *[F.col(f"_match.{rename[c]}").alias(rename[c]) for c in rpay],
+    )
+
+
+def crawl_diff(
+    pages: DataFrame, key: str = "url", ts: str = "warc_ts", content: str = "text"
+) -> DataFrame:
+    """Per-snapshot churn status: ``new`` (first crawl of the url),
+    ``changed`` (content hash differs from the previous snapshot),
+    ``unchanged``. Returns (url, warc_ts, status).
+
+    One window partitioned by url ordered by ts (lag of the content
+    hash). Per-url snapshot counts are crawl-policy-bounded, so the
+    partition sort is bounded regardless of corpus size.
+    """
+    h = F.xxhash64(F.col(content))
+    w = Window.partitionBy(key).orderBy(ts)
+    prev = F.lag(h).over(w)
+    status = (
+        F.when(prev.isNull(), F.lit("new"))
+        .when(prev != h, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return pages.select(F.col(key), F.col(ts), status.alias("status"))
+
+
+def triple_validity(
+    triples: DataFrame, ts: str = "warc_ts"
+) -> DataFrame:
+    """Assertion intervals per (subj, pred, obj): first_seen, last_seen,
+    n_assertions. One partial-aggregated shuffle on the triple key."""
+    return triples.groupBy("subj", "pred", "obj").agg(
+        F.min(ts).alias("first_seen"),
+        F.max(ts).alias("last_seen"),
+        F.count(F.lit(1)).alias("n_assertions"),
+    )
+
+
+def kg_asof(triples: DataFrame, as_of: str, ts: str = "warc_ts") -> DataFrame:
+    """KG snapshot at time ``as_of``: for each (subj, pred), the object
+    most recently asserted at or before ``as_of`` (ties: greatest obj,
+    deterministic). Filter (pushed to the scan) then ONE
+    partial-aggregated groupBy max(struct(ts, obj)) — no window, so a
+    hot (subj, pred) combines map-side."""
+    t = triples.where(F.col(ts) <= F.to_timestamp(F.lit(as_of)))
+    packed = t.groupBy("subj", "pred").agg(
+        F.max(F.struct(F.col(ts).alias("t"), F.col("obj").alias("o"))).alias("_w")
+    )
+    return packed.select(
+        "subj", "pred", F.col("_w.o").alias("obj"), F.col("_w.t").alias("asserted_at")
+    )
