@@ -174,6 +174,117 @@ def k_hop(
     return visited
 
 
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = SRC,
+    dst: str = DST,
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected KG; returns (node, community).
+
+    Deterministic variant (oracle-matchable, unlike the randomized
+    classic): every node starts labeled with its own id; each round,
+    a node adopts the most frequent label among its neighbors, ties
+    broken by the SMALLEST label; fixed ``iters`` rounds. Plan per
+    round: labels ⋈ symmetric edge list (one shuffle on the edge key),
+    then a two-level partial-aggregated groupBy — (node, label) counts,
+    then max(struct(count, -label)) per node — so hot nodes combine
+    map-side at both levels; no window, no per-node state on the
+    driver. localCheckpoint per round caps lineage, same discipline as
+    ``pagerank``. Isolated nodes (no edges) keep their own id.
+    """
+    und = undirected_edges(edges, src, dst)
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(iters):
+        neigh = (
+            sym.join(labels, sym.b == labels.node)
+            .select(F.col("a").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        best = (
+            neigh.groupBy("node")
+            .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("_w"))
+            .select("node", (-F.col("_w.neg")).alias("label"))
+        )
+        labels = best.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def link_prediction(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_wedge_degree: int | None = None,
+    src: str = SRC,
+    dst: str = DST,
+) -> DataFrame:
+    """Missing-edge candidates for KG completion: non-adjacent node
+    pairs ranked by neighbor overlap. Returns (a, b, common, jaccard)
+    with a < b — common = |N(a) ∩ N(b)|, jaccard = common /
+    |N(a) ∪ N(b)|.
+
+    Unlike ``triangles``, common-neighbor counting needs EVERY wedge
+    (x–u–y), not one canonical wedge per closed triple, so the
+    degree-orientation trick does not apply (a shared neighbor ranked
+    above both endpoints generates no out-out wedge and would be
+    missed — exactness test pins this). The wedge join is therefore
+    the full symmetric-adjacency self-join on the center u: O(sum
+    deg(u)^2), hub-dominated at web scale. The honest scale control is
+    ``max_wedge_degree``: wedge CENTERS above the cap are excluded
+    (same audited-guard pattern as linking.py's lsh max_bucket — a
+    node adjacent to millions makes all its neighbor pairs "similar",
+    which is co-citation noise, and the cap's effect is exact: only
+    intersections THROUGH mega-hubs are uncounted). None = exact.
+    Downstream: partial-agg count per pair, ``min_common`` prune, then
+    left-anti against the existing edge set and two degree joins for
+    the union denominator.
+    """
+    und = undirected_edges(edges, src, dst)
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    centers = sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    if max_wedge_degree is not None:
+        ok = deg.where(F.col("d") <= max_wedge_degree).select(
+            F.col("node").alias("u")
+        )
+        centers = centers.join(ok, "u")
+    e1 = centers.select(F.col("u"), F.col("v").alias("x"))
+    e2 = centers.select(F.col("u"), F.col("v").alias("y"))
+    common = (
+        e1.join(e2, "u")
+        .where(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    cand = common.join(und, ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 10,

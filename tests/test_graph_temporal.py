@@ -311,3 +311,128 @@ def test_kg_asof_snapshot_matches_duckdb(spark, ts_triples):
         }
         assert got == want
         assert ("acme", "ceo", expect_ceo) in {g[:3] for g in got}
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: each clique converges
+    to its own min-id community; matches a Python fold of the same
+    synchronous min-tie rule on the bulk graph too."""
+    from gliner_spark.operators.graph import label_propagation, undirected_edges
+
+    pairs = (
+        [(i, j) for i in range(4) for j in range(4) if i < j]
+        + [(10 + i, 10 + j) for i in range(4) for j in range(4) if i < j]
+        + [(3, 10)]
+    )
+    edges = spark.createDataFrame(pairs, "src_entity long, dst_entity long")
+    got = dict(label_propagation(edges, iters=5).collect())
+    assert {got[n] for n in (0, 1, 2)} == {0}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+
+    # exactness vs a driver-side fold of the identical update rule
+    und = [tuple(r) for r in undirected_edges(edges).collect()]
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: n for n in adj}
+    for _ in range(5):
+        nxt = {}
+        for n, nb in adj.items():
+            counts = {}
+            for m in nb:
+                counts[lab[m]] = counts.get(lab[m], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        lab = nxt
+    assert got == lab
+
+
+def test_label_propagation_matches_fold_on_bulk(spark, edges):
+    from gliner_spark.operators.graph import label_propagation, undirected_edges
+
+    got = dict(label_propagation(edges, iters=3).collect())
+    und = [tuple(r) for r in undirected_edges(edges).collect()]
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n, nb in adj.items():
+            counts = {}
+            for m in nb:
+                counts[lab[m]] = counts.get(lab[m], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        lab = nxt
+    assert got == lab and len(got) > 20
+
+
+def test_link_prediction_matches_duckdb(spark, edges):
+    """Exact (no hub cap) vs a DuckDB twin. The bulk graph has hub
+    nodes (40-node id space, 600 edges), so this also pins that the
+    full symmetric wedge join — not the degree-oriented one — is used:
+    orientation would miss intersections through high-ranked centers."""
+    from gliner_spark.operators.graph import link_prediction
+
+    got = {(r.a, r.b, r.common) for r in link_prediction(edges).collect()}
+    con = _con(e=edges.toPandas())
+    want = {
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH und AS (
+              SELECT DISTINCT least(src_entity, dst_entity) a,
+                              greatest(src_entity, dst_entity) b
+              FROM e WHERE src_entity <> dst_entity),
+            sym AS (SELECT a u, b v FROM und UNION ALL SELECT b, a FROM und),
+            com AS (
+              SELECT e1.v a, e2.v b, COUNT(*)::BIGINT common
+              FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v
+              GROUP BY e1.v, e2.v)
+            SELECT c.a, c.b, c.common FROM com c
+            ANTI JOIN und ON und.a = c.a AND und.b = c.b
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 50
+
+    # jaccard denominator: spot-check against degrees from the same twin
+    deg = dict(
+        con.execute(
+            """
+            WITH und AS (
+              SELECT DISTINCT least(src_entity, dst_entity) a,
+                              greatest(src_entity, dst_entity) b
+              FROM e WHERE src_entity <> dst_entity)
+            SELECT node, COUNT(*)::BIGINT FROM (
+              SELECT a node FROM und UNION ALL SELECT b FROM und)
+            GROUP BY node
+            """
+        ).fetchall()
+    )
+    for r in link_prediction(edges).limit(20).collect():
+        assert abs(r.jaccard - r.common / (deg[r.a] + deg[r.b] - r.common)) < 1e-6
+
+
+def test_link_prediction_hub_cap_audited_subset(spark):
+    """max_wedge_degree drops exactly the intersections routed through
+    over-cap centers: on a star + one side pair, capping below the hub
+    degree removes the hub-mediated pairs and keeps the rest."""
+    from gliner_spark.operators.graph import link_prediction
+
+    # hub 0 -- {1..6}; plus chain 1-7, 2-7 (7 is a degree-2 center)
+    pairs = [(0, i) for i in range(1, 7)] + [(1, 7), (2, 7)]
+    edges = spark.createDataFrame(pairs, "src_entity long, dst_entity long")
+    exact = {(r.a, r.b): r.common for r in link_prediction(edges).collect()}
+    capped = {
+        (r.a, r.b): r.common
+        for r in link_prediction(edges, max_wedge_degree=2).collect()
+    }
+    # hub-mediated leaf pairs present exactly, gone under the cap:
+    # only wedges through degree<=2 centers (nodes 1 and 2) survive
+    assert exact[(1, 2)] == 2  # via hub 0 AND via center 7
+    assert capped == {(1, 2): 1, (0, 7): 2}
+    assert all(k in exact for k in capped)
