@@ -201,19 +201,26 @@ def label_propagation(
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
     for _ in range(iters):
-        neigh = (
-            sym.join(labels, sym.b == labels.node)
-            .select(F.col("a").alias("node"), "label")
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        best = (
-            neigh.groupBy("node")
-            .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("_w"))
-            .select("node", (-F.col("_w.neg")).alias("label"))
-        )
-        labels = best.localCheckpoint(eager=True)
+        labels = lpa_round(sym, labels).localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous label-propagation round (the un-checkpointed
+    plan — exposed so tools/explain_plans.py can audit the round's
+    physical shape, which the loop's localCheckpoint otherwise hides).
+    """
+    neigh = (
+        sym.join(labels, sym.b == labels.node)
+        .select(F.col("a").alias("node"), "label")
+        .groupBy("node", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        neigh.groupBy("node")
+        .agg(F.max(F.struct(F.col("n"), (-F.col("label")).alias("neg"))).alias("_w"))
+        .select("node", (-F.col("_w.neg")).alias("label"))
+    )
 
 
 def link_prediction(

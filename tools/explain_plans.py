@@ -199,6 +199,70 @@ def main() -> int:
           f"== [doc_id, sig] -> {store_cols}")
     bad += not store_ok
 
+    # 8c. temporal family: the hot-key discipline is structural.
+    # latest_snapshot must be a partial-aggregated max(struct) groupBy
+    # — NO window (a row_number window would single-task hot urls);
+    # same for kg_asof.
+    from gliner_spark.operators.temporal import (
+        asof_join,
+        latest_snapshot,
+        synthesize_recrawls,
+    )
+
+    # checkpoint: the synthesizer's own version-counter window must not
+    # leak into the operator plans under audit
+    pages = synthesize_recrawls(spark, n_urls=300).localCheckpoint(eager=True)
+    p = executed_plan_of(latest_snapshot(pages))
+    bad += not check(
+        "latest_snapshot (partial-agg max(struct), no window)",
+        p,
+        {"Window": False, "partial_max": True,
+         "ArrowEvalPython": False, "MapInPandas": False},
+    )
+
+    # 8d. asof_join: union-tag plan — the right side attaches via ONE
+    # sort-shuffle + running window, never a range-expanded join (no
+    # nested-loop/cartesian product anywhere)
+    dic = spark.createDataFrame(
+        [("https://site-1.example/", "2024-05-01 00:30:00", 2)],
+        "url string, valid_from string, dict_ver int",
+    ).select("url", _F.to_timestamp("valid_from").alias("valid_from"),
+             "dict_ver")
+    p = executed_plan_of(
+        asof_join(pages, dic, key="url", left_ts="warc_ts",
+                  right_ts="valid_from")
+    )
+    bad += not check(
+        "asof_join (union-tag window, no range-expanded join)",
+        p,
+        {"Window": True, "BroadcastNestedLoopJoin": False,
+         "CartesianProduct": False, "SortMergeJoin": False,
+         "MapInPandas": False},
+    )
+
+    # 8e. label_propagation round: both levels partial-aggregated
+    # (hot nodes combine map-side), no window, no Python
+    from gliner_spark.operators.graph import lpa_round, undirected_edges
+
+    kg_edges = pages.select(
+        (_F.abs(_F.xxhash64("url")) % 50).alias("src_entity"),
+        (_F.abs(_F.xxhash64("url", _F.lit(1))) % 50).alias("dst_entity"),
+    )
+    und = undirected_edges(kg_edges)
+    sym = und.unionByName(
+        und.select(_F.col("b").alias("a"), _F.col("a").alias("b"))
+    )
+    labels0 = sym.select(_F.col("a").alias("node")).distinct().withColumn(
+        "label", _F.col("node")
+    )
+    p = executed_plan_of(lpa_round(sym, labels0))
+    bad += not check(
+        "label_propagation (partial-agg rounds, no window, no Python)",
+        p,
+        {"Window": False, "partial_count": True, "partial_max": True,
+         "ArrowEvalPython": False, "MapInPandas": False},
+    )
+
     # 9. TPC-H-style join: small dim broadcast without hints
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     cust = spark.read.parquet(f"{SF}/customer.parquet")
