@@ -23,10 +23,16 @@ no ``onnxruntime`` wheel, so this module provides
 
 ``OnnxScorer`` falls back to ``MiniOnnxSession`` when ``onnxruntime``
 is not importable, so feed → forward → logits → decode runs through a
-genuinely parsed-and-executed model file, not a mock. The op set is
-deliberately small (the hand-built graph's ops + a few common ones); an
-unsupported op raises ``NotImplementedError`` naming it — no silent
-wrong answers on a full transformer export, which needs the real wheel.
+genuinely parsed-and-executed model file, not a mock. The op set covers
+the transformer-export core (MatMul/Gemm/Einsum, Softmax,
+LayerNormalization, Erf/Gelu, attention-mask building via
+Shape/ConstantOfShape/Expand/Trilu/Where, GatherElements/Tile for
+relative-position patterns) — a one-layer attention block and a
+causal-masked attention graph execute end-to-end against numpy
+references in tests/test_onnx_rt.py. An unsupported op or
+unimplemented attribute raises ``NotImplementedError`` naming it — no
+silent wrong answers on a full checkpoint, which still needs the real
+wheel for speed and the long op tail.
 """
 
 from __future__ import annotations
@@ -565,6 +571,64 @@ def _op_clip(node, x, lo=None, hi=None):
     ).astype(x.dtype)
 
 
+def _op_shape(node, x):
+    # opset-15 start/end attrs slice the reported shape vector
+    shp = list(x.shape)
+    start = int(node.attrs.get("start", 0))
+    end = node.attrs.get("end")
+    end = len(shp) if end is None else int(end)
+    r = len(shp)
+    start = max(0, min(r, start + r if start < 0 else start))
+    end = max(0, min(r, end + r if end < 0 else end))
+    return np.asarray(shp[start:end], dtype=np.int64)
+
+
+def _op_constant_of_shape(node, shape):
+    val = node.attrs.get("value")
+    if val is None:
+        val = np.zeros(1, dtype=np.float32)
+    val = np.asarray(val)
+    return np.full(tuple(int(s) for s in np.asarray(shape).reshape(-1)),
+                   val.reshape(-1)[0], dtype=val.dtype)
+
+
+def _op_expand(node, x, shape):
+    target = tuple(int(s) for s in np.asarray(shape).reshape(-1))
+    return np.broadcast_to(x, np.broadcast_shapes(x.shape, target)).copy()
+
+
+def _op_gather_elements(node, data, idx):
+    axis = int(node.attrs.get("axis", 0))
+    i = idx.astype(np.int64)
+    i = np.where(i < 0, i + data.shape[axis], i)
+    return np.take_along_axis(data, i, axis=axis)
+
+
+def _op_trilu(node, x, k=None):
+    diag = int(np.asarray(k).reshape(())) if k is not None else 0
+    upper = int(node.attrs.get("upper", 1))
+    return np.triu(x, diag) if upper else np.tril(x, diag)
+
+
+def _op_tile(node, x, reps):
+    return np.tile(x, tuple(int(r) for r in np.asarray(reps).reshape(-1)))
+
+
+def _op_reduce_min(node, x, axes=None):
+    ax = node.attrs.get("axes")
+    if axes is not None:  # opset-18 style: axes as input
+        ax = _np_axes(axes)
+    keep = bool(node.attrs.get("keepdims", 1))
+    return np.min(x, axis=tuple(ax) if ax else None, keepdims=keep) \
+        .astype(x.dtype)
+
+
+def _op_einsum(node, *xs):
+    eq = node.attrs["equation"]
+    eq = eq.decode() if isinstance(eq, (bytes, bytearray)) else str(eq)
+    return np.einsum(eq, *xs)
+
+
 def _op_gelu(node, x):
     # opset-20 Gelu; approximate='none' (exact erf form) is whitelisted
     return (0.5 * x * (1.0 + _ERF(x / np.sqrt(2.0)))).astype(x.dtype)
@@ -619,6 +683,18 @@ _OPS = {
     "Split": _op_split,
     "Clip": _op_clip,
     "Gelu": _op_gelu,
+    "Shape": _op_shape,
+    "ConstantOfShape": _op_constant_of_shape,
+    "Expand": _op_expand,
+    "GatherElements": _op_gather_elements,
+    "Trilu": _op_trilu,
+    "Tile": _op_tile,
+    "ReduceMin": _op_reduce_min,
+    "Einsum": _op_einsum,
+    "GreaterOrEqual": lambda n, a, b: a >= b,
+    "LessOrEqual": lambda n, a, b: a <= b,
+    "And": lambda n, a, b: a & b,
+    "Or": lambda n, a, b: a | b,
 }
 
 
@@ -652,6 +728,13 @@ _ATTR_OK: Dict[str, Dict[str, object]] = {
                   "noop_with_empty_axes": frozenset({0})},
     "Split": {"axis": None, "split": None},
     "Gelu": {"approximate": frozenset({"none"})},  # tanh approx differs
+    "Shape": {"start": None, "end": None},
+    "ConstantOfShape": {"value": None},
+    "GatherElements": {"axis": None},
+    "Trilu": {"upper": None},
+    "ReduceMin": {"axes": None, "keepdims": None,
+                  "noop_with_empty_axes": frozenset({0})},
+    "Einsum": {"equation": None},
 }
 
 

@@ -443,3 +443,103 @@ def test_split_clip_reducesum_gelu_ops():
     )
     with pytest.raises(NotImplementedError, match="approximate"):
         MiniOnnxSession(bad)
+
+
+def test_causal_masked_attention_with_shape_ops(tmp_path):
+    """Causal self-attention built the way real exporters build it —
+    Shape → ConstantOfShape → Trilu for the mask, Einsum for the
+    score/context contractions, Where for the -inf fill — parsed and
+    executed from a genuine .onnx file, vs a float64 numpy reference."""
+    rng = np.random.default_rng(11)
+    V, T, d = 13, 6, 8
+    E = rng.normal(0, 0.5, (V, d)).astype(np.float32)
+    Wq = rng.normal(0, 0.5, (d, d)).astype(np.float32)
+    Wk = rng.normal(0, 0.5, (d, d)).astype(np.float32)
+    Wv = rng.normal(0, 0.5, (d, d)).astype(np.float32)
+    inits = {
+        "E": E, "Wq": Wq, "Wk": Wk, "Wv": Wv,
+        "sqrt_d": np.asarray(np.sqrt(d), dtype=np.float32),
+        "half": np.asarray(0.5, dtype=np.float32),
+    }
+    nodes = [
+        ("Gather", ["E", "ids"], ["x"], None),
+        ("MatMul", ["x", "Wq"], ["q"], None),
+        ("MatMul", ["x", "Wk"], ["k"], None),
+        ("MatMul", ["x", "Wv"], ["v"], None),
+        ("Einsum", ["q", "k"], ["qk"], {"equation": "td,ud->tu"}),
+        ("Div", ["qk", "sqrt_d"], ["scores"], None),
+        ("Shape", ["scores"], ["shp"], None),
+        ("ConstantOfShape", ["shp"], ["ones"],
+         {"value": np.asarray([1.0], dtype=np.float32)}),
+        ("Trilu", ["ones"], ["tril"], {"upper": 0}),
+        ("GreaterOrEqual", ["tril", "half"], ["allow"], None),
+        ("ConstantOfShape", ["shp"], ["neg"],
+         {"value": np.asarray([-1e9], dtype=np.float32)}),
+        ("Where", ["allow", "scores", "neg"], ["masked"], None),
+        ("Softmax", ["masked"], ["attn"], {"axis": -1}),
+        ("Einsum", ["attn", "v"], ["out"], {"equation": "tu,ud->td"}),
+    ]
+    path = str(tmp_path / "causal_attn.onnx")
+    with open(path, "wb") as f:
+        f.write(serialize_model(nodes=nodes, initializers=inits,
+                                inputs=["ids"], outputs=["out"]))
+    ids = np.asarray([3, 1, 4, 1, 5, 9], dtype=np.int64)
+    (got,) = MiniOnnxSession(path).run(None, {"ids": ids})
+
+    x = E.astype(np.float64)[ids]
+    q, k, v = x @ Wq, x @ Wk, x @ Wv
+    s = q @ k.T / np.sqrt(d)
+    s = np.where(np.tril(np.ones((T, T))) >= 0.5, s, -1e9)
+    a = np.exp(s - s.max(-1, keepdims=True))
+    a /= a.sum(-1, keepdims=True)
+    want = a @ v
+    assert got.shape == (T, d)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_export_shape_op_suite(tmp_path):
+    """The remaining export-pattern ops one graph each, vs numpy."""
+    def run1(nodes, inits, feeds, out="y"):
+        data = serialize_model(nodes=nodes, initializers=inits,
+                               inputs=list(feeds), outputs=[out])
+        (res,) = MiniOnnxSession(data).run([out], feeds)
+        return res
+
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    # Expand broadcasts per ONNX (result = broadcast(x, shape))
+    got = run1([("Expand", ["x", "s"], ["y"], None)],
+               {"s": np.asarray([2, 3, 4], dtype=np.int64)}, {"x": x})
+    np.testing.assert_array_equal(got, np.broadcast_to(x, (2, 3, 4)))
+    # GatherElements with negative indices
+    idx = np.asarray([[0, -1, 1, 2]] * 3, dtype=np.int64)
+    got = run1([("GatherElements", ["x", "i"], ["y"], {"axis": 1})],
+               {"i": idx}, {"x": x})
+    np.testing.assert_array_equal(
+        got, np.take_along_axis(x, np.where(idx < 0, idx + 4, idx), axis=1))
+    # Tile
+    got = run1([("Tile", ["x", "r"], ["y"], None)],
+               {"r": np.asarray([2, 1], dtype=np.int64)}, {"x": x})
+    np.testing.assert_array_equal(got, np.tile(x, (2, 1)))
+    # ReduceMin (opset-18 axes-as-input), keepdims default
+    got = run1([("ReduceMin", ["x", "ax"], ["y"], None)],
+               {"ax": np.asarray([1], dtype=np.int64)}, {"x": x})
+    np.testing.assert_array_equal(got, x.min(axis=1, keepdims=True))
+    # Shape start/end attrs
+    got = run1([("Shape", ["x"], ["y"], {"start": 1})], {}, {"x": x})
+    np.testing.assert_array_equal(got, np.asarray([4], dtype=np.int64))
+    # And / Or / LessOrEqual on bools
+    a = np.asarray([True, False, True])
+    b = np.asarray([True, True, False])
+    got = run1([("And", ["a", "b"], ["y"], None)], {}, {"a": a, "b": b})
+    np.testing.assert_array_equal(got, a & b)
+    got = run1([("Or", ["a", "b"], ["y"], None)], {}, {"a": a, "b": b})
+    np.testing.assert_array_equal(got, a | b)
+    f = np.asarray([1.0, 2.0, 3.0], dtype=np.float32)
+    g2 = np.asarray([2.0, 2.0, 2.0], dtype=np.float32)
+    got = run1([("LessOrEqual", ["a", "b"], ["y"], None)],
+               {}, {"a": f, "b": g2})
+    np.testing.assert_array_equal(got, f <= g2)
+    # Trilu upper (default) with k input
+    got = run1([("Trilu", ["x", "k"], ["y"], None)],
+               {"k": np.asarray(1, dtype=np.int64)}, {"x": x})
+    np.testing.assert_array_equal(got, np.triu(x, 1))
