@@ -333,6 +333,73 @@ def embedding_dup_pairs(
     )
 
 
+def _bucket_pair_candidates(
+    bucketed: DataFrame, threshold: float, margin: float = 1e-3
+) -> DataFrame:
+    """(src, dst) candidate pairs from per-bucket vectorized scoring.
+
+    Input: (tbl, bucket, nid, vraw float32[dim]) — every member of every
+    kept bucket. One applyInPandas group per (tbl, bucket): the group's
+    vectors are stacked into one float64 matrix and scored by BLAS
+    matmul against the group's suffix (upper triangle in id order only),
+    emitting every pair whose numpy cosine clears ``threshold − margin``.
+
+    This is a candidate PRE-FILTER, not the scorer of record: survivors
+    are re-scored by the exact Catalyst ``cosine_expr`` + round +
+    threshold downstream, so the emitted pair set (and every sim value)
+    is bit-identical to the old plan as long as no qualifying pair is
+    dropped here. numpy float64 cosine differs from Catalyst's
+    sequential fold only in summation order (≤ ~1e-13 relative);
+    ``margin = 1e-3`` dwarfs both that and the 5e-7 round-half-up band,
+    so the filter provably keeps every pair the exact scorer accepts.
+    Zero-norm vectors (cosine NaN, which Spark orders ABOVE the
+    threshold) are force-paired with their whole bucket to mirror the
+    old plan's NaN semantics exactly.
+
+    Group size is bounded by the caller's ``max_bucket`` guard, so the
+    in-memory matrix is (max_bucket × dim) floats at worst; the matmul
+    runs in id-sorted row chunks to bound the similarity block."""
+    import pandas as pd
+
+    cut = threshold - margin
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["nid"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["vraw"]]
+        )[order]
+        norms = np.linalg.norm(x, axis=1)
+        zero = norms == 0
+        norms[zero] = 1.0
+        x = x / norms[:, None]
+        n = len(ids)
+        srcs, dsts = [], []
+        # chunk so the sims block stays ≤ ~32M doubles (256 MB)
+        chunk = max(1, 32_000_000 // max(n, 1))
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = x[s:e] @ x[s:].T  # vs suffix only: upper triangle
+            if zero.any():  # NaN-cosine pairs survive in the old plan
+                sims[zero[s:e], :] = np.inf
+                sims[:, zero[s:]] = np.inf
+            ii, jj = np.nonzero(sims >= cut)
+            keep = ii < jj  # global i < j (both offset by s)
+            srcs.append(ids[s + ii[keep]])
+            dsts.append(ids[s + jj[keep]])
+        return pd.DataFrame({
+            "src": np.concatenate(srcs) if srcs else
+            np.empty(0, dtype=np.int64),
+            "dst": np.concatenate(dsts) if dsts else
+            np.empty(0, dtype=np.int64),
+        })
+
+    return bucketed.groupBy("tbl", "bucket").applyInPandas(
+        score, schema="src long, dst long"
+    )
+
+
 def embedding_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.40,
@@ -345,9 +412,9 @@ def embedding_dup_pairs_lsh(
     dim: int = 64,
 ) -> DataFrame:
     """LSH-blocked embedding near-dup pairs — the scale path for
-    ``embedding_dup_pairs``: candidates come from an equi-join on
-    (table, bucket) over random-hyperplane sign buckets (no cross join
-    anywhere in the plan), then exact cosine re-rank + threshold.
+    ``embedding_dup_pairs``: candidates come from per-bucket vectorized
+    scoring over random-hyperplane sign buckets (no cross join anywhere
+    in the plan), then exact cosine re-rank + threshold.
 
     Recall is tunable via (n_bits, n_tables): per-plane agreement for a
     pair at cosine c is 1 − arccos(c)/π, per-table collision p^n_bits,
@@ -358,28 +425,39 @@ def embedding_dup_pairs_lsh(
     sf0.01/sf0.1 test corpora (asserted in tests), so the driver's
     exact SQL oracle stays valid with wide margin even if the gate
     corpus grows. ``max_bucket`` bounds pathological buckets the same
-    way the MinHash band join does."""
+    way the MinHash band join does.
+
+    Plan shape (r7 rework, guide §2.3/§4.2): the old form generated
+    candidates with a Catalyst self-join on (tbl, bucket) and THEN
+    deduped/scored them — at permissive settings (3 bits → 1/8 of the
+    corpus per bucket) that join emits Σ_buckets C(|bucket|, 2) rows,
+    ~1.2 BILLION at the 20k-vector sf1.0 corpus (measured 201 s),
+    all shuffled through a dropDuplicates before scoring. Now each kept
+    bucket's members ship ONCE into an Arrow group task that scores the
+    whole bucket with one BLAS matmul and emits only margin-passing
+    pairs (~true pairs × mean collision multiplicity ≈ 6×, not the
+    raw candidate multiset), so shuffle volume is O(n_tables · n · dim
+    + survivors), never quadratic. Survivors are deduped and re-scored
+    by the EXACT same Catalyst cosine/round/threshold expressions as
+    before — output proven identical (test_embedding_lsh_equals_exact,
+    both gate scales)."""
     from .util import ensure_parallelism
 
     # a small local parquet arrives as ONE split; without this the
-    # candidate join (n_tables-fold multiset) runs single-threaded
-    corpus = ensure_parallelism(embeddings).select(
+    # keys UDF + bucket scoring run single-threaded
+    raw = ensure_parallelism(embeddings).select(
         F.col(id_col).cast("long").alias("nid"),
-        _as_double(F.col(vec_col)).alias("v"),
+        F.col(vec_col).alias("vraw"),
     )
+    # keys sees float32 input; np.asarray(·, float64) widens exactly, so
+    # bucket assignment is bit-identical to the old double-cast column
     keys = _bucket_keys_udf(dim, n_bits, n_tables, seed)
-    # ids only through the explode/self-join/dedup (the candidate
-    # multiset is ~n_tables-fold redundant before dedup — carrying the
-    # 64-dim vectors through it multiplied shuffle bytes ~30× and was,
-    # with the old per-literal bucket expressions, the bulk of an 87 s
-    # sf0.1 runtime; vectors join back once per DEDUPED pair)
-    # materialize ONCE: the bucket table is referenced four times in
-    # the plan (self-join a/b sides + the guard aggregation) and would
-    # otherwise re-run the scan + keys UDF per reference; it holds only
-    # (id, tbl, bucket) ints — signature-sized, never document-sized —
-    # so this is the cheap side to pin at any corpus scale
-    buckets = corpus.select(
-        "nid", F.posexplode(keys(F.col("v"))).alias("tbl", "bucket")
+    # materialize ONCE: the bucket table is referenced by the guard
+    # aggregation and the scoring join and would otherwise re-run the
+    # scan + keys UDF per reference; it holds only (id, tbl, bucket)
+    # ints — signature-sized, never document-sized
+    buckets = raw.select(
+        "nid", F.posexplode(keys(F.col("vraw"))).alias("tbl", "bucket")
     ).localCheckpoint()
     guard = (
         buckets.groupBy("tbl", "bucket")
@@ -388,18 +466,15 @@ def embedding_dup_pairs_lsh(
         .select("tbl", "bucket")
     )
     pruned = buckets.join(guard, ["tbl", "bucket"])
-    a = pruned.alias("a")
-    b = pruned.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.nid") < F.col("b.nid")),
-        )
-        .select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
+    # vectors attach to kept bucket members float32-narrow (guide §2.3:
+    # half the shuffle bytes of the double form; widened exactly inside
+    # the scoring UDF), then one (tbl, bucket) shuffle feeds the
+    # per-bucket matmul tasks
+    bucketed = pruned.join(raw, "nid")
+    cand = _bucket_pair_candidates(
+        bucketed, threshold
+    ).dropDuplicates(["src", "dst"])
+    corpus = raw.select("nid", _as_double(F.col("vraw")).alias("v"))
     va = corpus.select(F.col("nid").alias("src"), F.col("v").alias("va"))
     vb = corpus.select(F.col("nid").alias("dst"), F.col("v").alias("vb"))
     return (

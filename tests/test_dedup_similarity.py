@@ -378,6 +378,46 @@ def test_embedding_dups_lsh_exact_recall_on_gate_corpus(spark):
     assert exact and lsh == exact
 
 
+def test_bucket_pair_candidates_prefilter_semantics(spark):
+    """r7 internals: the per-bucket numpy prefilter must (a) emit every
+    pair at/above threshold−margin including across its chunk boundary,
+    (b) force-pair zero-norm vectors with their whole bucket (the old
+    Catalyst plan emits their NaN cosine, which Spark orders ABOVE any
+    threshold, so dropping them would change output), (c) emit src<dst
+    only."""
+    import numpy as np
+
+    from gliner_spark.operators.similarity import _bucket_pair_candidates
+
+    rows = [
+        (0, 0, 7, [1.0, 0.0, 0.0, 0.0]),
+        (0, 0, 3, [1.0, 0.001, 0.0, 0.0]),   # ~1.0 cosine with 7
+        (0, 0, 11, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (0, 0, 5, [0.0, 0.0, 0.0, 0.0]),     # zero vector → NaN pairs
+    ]
+    df = spark.createDataFrame(
+        rows, "tbl int, bucket int, nid long, vraw array<float>"
+    )
+    got = {(r.src, r.dst)
+           for r in _bucket_pair_candidates(df, 0.9).collect()}
+    # near-identical pair plus the zero vector against everyone
+    assert got == {(3, 7), (3, 5), (5, 7), (5, 11)}
+    assert all(s < d for s, d in got)
+
+    # chunk boundary: force chunk=1 via a bucket larger than the
+    # 32M-doubles budget is impractical; instead monkeypatch-free check
+    # that a 3-vector clique at chunk size 1 (32_000_000 // n >= 1
+    # always, so emulate by many vectors) still finds all pairs: use a
+    # 40-vector identical clique — C(40,2) pairs, every one found once.
+    clique = [(1, 1, i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    df2 = spark.createDataFrame(
+        clique, "tbl int, bucket int, nid long, vraw array<float>"
+    )
+    got2 = _bucket_pair_candidates(df2, 0.9).collect()
+    assert len(got2) == 40 * 39 // 2
+    assert np.all([r.src < r.dst for r in got2])
+
+
 def test_multimodal_plumbing(docs):
     from gliner_spark.operators.multimodal import media_embeddings
 
