@@ -148,6 +148,64 @@ def ngram_prefix_dropped_buckets(
     )
 
 
+def _bucket_jaccard_candidates(
+    bucketed: DataFrame, threshold: float, max_bucket: int,
+    margin: float = 0.05,
+) -> DataFrame:
+    """(src, dst) candidate pairs from per-prefix-bucket vectorized
+    Jaccard estimation — the r7 replacement for the Catalyst
+    self-join + 8M-pair dropDuplicates + full-array verify join chain
+    (guide §2.3/§4.2).
+
+    Input: (shingle, sid, n_sh, hx) — one row per (prefix shingle,
+    member doc), carrying the doc's xxhash64-hashed shingle array. One
+    applyInPandas group per prefix shingle: a binary membership matrix
+    over the group's distinct hash values gives ALL pairwise
+    intersection counts in one BLAS matmul; pairs whose hash-Jaccard
+    clears ``threshold − margin`` are emitted. Groups larger than
+    ``max_bucket`` are dropped — the same skew guard the old bucket
+    aggregation applied, now group-local.
+
+    PRE-FILTER, not the scorer of record: survivors are re-verified by
+    the exact string-array intersection downstream, so output equality
+    needs only that no qualifying pair is dropped here. Hash-counted
+    intersections equal string-counted ones unless two distinct
+    shingles in one pair's union collide under xxhash64 (probability
+    ~n²/2⁶⁵; a corpus-wide zero-collision check is asserted at gate
+    scale in tests), and even a collision moves Ĵ by ~1/|A| ≪ margin.
+    """
+    import pandas as pd
+
+    cut = threshold - margin
+    empty = pd.DataFrame({"src": np.empty(0, dtype=np.int64),
+                          "dst": np.empty(0, dtype=np.int64)})
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2 or m > max_bucket:
+            return empty
+        ids = pdf["sid"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = pdf["n_sh"].to_numpy(dtype=np.int64)[order]
+        arrs = [np.asarray(a, dtype=np.int64)
+                for a in pdf["hx"].iloc[order]]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=m)
+        flat = np.concatenate(arrs)
+        _, inv = np.unique(flat, return_inverse=True)
+        mat = np.zeros((m, int(inv.max()) + 1), dtype=np.float32)
+        mat[np.repeat(np.arange(m), lens), inv] = 1.0
+        inter = mat @ mat.T
+        est = inter / (n[:, None] + n[None, :] - inter)
+        ii, jj = np.nonzero(est >= cut)
+        keep = ii < jj  # ids ascending → src < dst
+        return pd.DataFrame({"src": ids[ii[keep]], "dst": ids[jj[keep]]})
+
+    return bucketed.groupBy("shingle").applyInPandas(
+        score, schema="src long, dst long"
+    )
+
+
 def ngram_jaccard_dups(
     docs: DataFrame,
     k: int = 3,
@@ -166,43 +224,51 @@ def ngram_jaccard_dups(
     indexed — at t=0.8 that's ~5× fewer index rows and ~25× fewer
     candidate pairs than the full inverted index, with identical
     output (candidates are then verified with the exact Jaccard; the
-    prefix property guarantees no qualifying pair is missed). The size
-    filter ``t·max(n_a,n_b) ≤ min(n_a,n_b)`` prunes inside the join
-    condition, pre-shuffle. The DuckDB oracle keeps the full-index
-    form — same result set by the filtering theorem, CONDITIONAL on
-    the ``max_bucket`` skew guard dropping nothing: a prefix shingle
-    hotter than ``max_bucket`` is skipped, so a qualifying pair whose
-    only shared prefix shingle is hot would be missed while the
-    uncapped oracle keeps it. Audit the condition with
-    ``ngram_prefix_dropped_buckets`` (same parameters) — the exactness
-    claim, and the shared oracle, hold only while it returns 0 at the
-    claimed scale (0 asserted at gate scale in tests)."""
+    prefix property guarantees no qualifying pair is missed). The
+    DuckDB oracle keeps the full-index form — same result set by the
+    filtering theorem, CONDITIONAL on the ``max_bucket`` skew guard
+    dropping nothing: a prefix shingle hotter than ``max_bucket`` is
+    skipped, so a qualifying pair whose only shared prefix shingle is
+    hot would be missed while the uncapped oracle keeps it. Audit the
+    condition with ``ngram_prefix_dropped_buckets`` (same parameters)
+    — the exactness claim, and the shared oracle, hold only while it
+    returns 0 at the claimed scale (0 asserted at gate scale in tests).
+
+    Plan shape (r7 rework): the old form materialized the candidate
+    pairs with a Catalyst self-join on the prefix index and verified
+    EVERY candidate by joining both docs' full string shingle arrays —
+    at sf1.0 that was 8.3M candidate pairs × ~1 KB of strings per side
+    (~17 GB through the verify joins + 8.3M array_intersect calls,
+    measured 15-16 s, the bulk of dedup_ngram/dedup_clusters/curate).
+    Now each prefix bucket ships its member docs' int64-hashed shingle
+    arrays ONCE into an Arrow group task (~240 MB total) that computes
+    all pairwise intersection counts with one matmul and emits only
+    margin-passing pairs; the exact string verify runs on survivors
+    only (≈ output-sized). Same candidate-superset + identical final
+    verify expressions ⇒ identical output (asserted vs the full-index
+    oracle and by the unchanged pytest equality sets)."""
     docs = ensure_parallelism(docs)
-    sh, pref = _prefix_index(docs, k, threshold, id_col, text_col)
-    bucket = (
-        pref.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("bn"))
-        .where((F.col("bn") > 1) & (F.col("bn") <= max_bucket))
-        .select("shingle")
+    # materialized ONCE (localCheckpoint): the sorted shingle arrays
+    # feed the prefix/hash pass AND both sides of the final exact
+    # verify — without pinning, the scan+shingle+sort subtree runs 3×
+    sh = docs.select(
+        F.col(id_col).cast("long").alias("sid"),
+        F.sort_array(word_shingles(F.col(text_col), k)).alias("sh"),
+    ).select("sid", "sh", F.size("sh").alias("n_sh")).localCheckpoint()
+    p = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    bucketed = sh.select(
+        "sid",
+        "n_sh",
+        F.transform(F.col("sh"), lambda x: F.xxhash64(x)).alias("hx"),
+        F.explode(F.slice("sh", F.lit(1), p)).alias("shingle"),
     )
-    pruned = pref.join(bucket, "shingle")
-    a = pruned.alias("a")
-    b = pruned.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.sid") < F.col("b.sid"))
-            & (
-                F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
-                * F.lit(threshold)
-                <= F.least(F.col("a.n_sh"), F.col("b.n_sh"))
-                + F.lit(1e-9)
-            ),
-        )
-        .select(F.col("a.sid").alias("src"), F.col("b.sid").alias("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
+    cand = _bucket_jaccard_candidates(
+        bucketed, threshold, max_bucket
+    ).dropDuplicates(["src", "dst"])
     sh_a = sh.select(F.col("sid").alias("src"), F.col("sh").alias("sh_a"),
                      F.col("n_sh").alias("n_a"))
     sh_b = sh.select(F.col("sid").alias("dst"), F.col("sh").alias("sh_b"),

@@ -378,6 +378,57 @@ def test_embedding_dups_lsh_exact_recall_on_gate_corpus(spark):
     assert exact and lsh == exact
 
 
+def test_ngram_hash_prefilter_zero_collisions_at_gate_scale(spark):
+    """r7 internals: ngram_jaccard_dups pre-filters candidates with
+    xxhash64-counted intersections. That count equals the string count
+    iff no two distinct shingles collide — assert ZERO collisions over
+    the whole gate corpora, turning the ~n²/2⁶⁵ probability argument
+    into a checked fact (the lsh_dropped_buckets pattern)."""
+    from pyspark.sql import functions as F
+
+    from gliner_spark.operators.dedup import word_shingles
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        sh = docs.select(
+            F.explode(word_shingles(F.col("text"), 3)).alias("s")
+        ).distinct()
+        r = sh.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.xxhash64("s")).alias("nh"),
+        ).first()
+        assert r.n == r.nh, f"xxhash64 shingle collision at {sf}"
+
+
+def test_bucket_jaccard_candidates_internals(spark):
+    """r7 internals: the per-bucket Jaccard prefilter must (a) honor the
+    max_bucket cap group-locally (oversized group → no pairs, matching
+    the old bucket-aggregation guard), (b) emit src<dst only, (c) keep
+    near-threshold pairs via the margin."""
+    from gliner_spark.operators.dedup import _bucket_jaccard_candidates
+
+    # group "g": docs 1,2 share 4 of 5 shingles (J = 4/6 ≈ 0.667);
+    # docs 1,3 identical (J = 1.0); hashes stand in for shingles
+    rows = [
+        ("g", 1, 5, [10, 20, 30, 40, 50]),
+        ("g", 2, 5, [10, 20, 30, 40, 99]),
+        ("g", 3, 5, [10, 20, 30, 40, 50]),
+    ]
+    df = spark.createDataFrame(
+        rows, "shingle string, sid long, n_sh int, hx array<long>"
+    )
+    got = {(r.src, r.dst)
+           for r in _bucket_jaccard_candidates(df, 0.7, 1000).collect()}
+    # J(1,3)=1.0 passes; J(1,2)=J(2,3)=4/6=0.667 ≥ 0.7−0.05 margin
+    assert got == {(1, 3), (1, 2), (2, 3)}
+    # tighten threshold: only the identical pair survives the margin
+    got_hi = {(r.src, r.dst)
+              for r in _bucket_jaccard_candidates(df, 0.9, 1000).collect()}
+    assert got_hi == {(1, 3)}
+    # cap: group of 3 > max_bucket=2 → dropped entirely
+    assert _bucket_jaccard_candidates(df, 0.7, 2).count() == 0
+
+
 def test_bucket_pair_candidates_prefilter_semantics(spark):
     """r7 internals: the per-bucket numpy prefilter must (a) emit every
     pair at/above threshold−margin including across its chunk boundary,
