@@ -163,13 +163,19 @@ def q_kg_links_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pytest-pinned (tests/test_linking.py).
     from gliner_spark.operators.embed import cosine_links_md5
 
-    surfaces = entity_surfaces(_mentions(spark, sf_dir))
+    # surfaces materialized once (guide §2.4): it feeds the Jaccard
+    # blocking AND the md5-gram vector table — both otherwise re-run
+    # the aggregation over the full mentions table per plan branch.
+    # Vocabulary-bounded (distinct label:surface), so the pin is tiny.
+    surfaces = entity_surfaces(_mentions(spark, sf_dir)).localCheckpoint()
     candidates = exact_jaccard_links(surfaces, threshold=0.10)
     return cosine_links_md5(surfaces, candidates, threshold=0.50)
 
 
 def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    surfaces = entity_surfaces(_mentions(spark, sf_dir))
+    # surfaces materialized once (guide §2.4): consumed by the link
+    # blocking and by canonical_entities' mapping join
+    surfaces = entity_surfaces(_mentions(spark, sf_dir)).localCheckpoint()
     links = exact_jaccard_links(surfaces)
     return nodes_table(canonical_entities(surfaces, links))
 
@@ -180,7 +186,7 @@ def q_kg_nodes_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle (recursive-CTE components)
     from gliner_spark.operators.canonicalize import connected_components_star
 
-    surfaces = entity_surfaces(_mentions(spark, sf_dir))
+    surfaces = entity_surfaces(_mentions(spark, sf_dir)).localCheckpoint()
     links = exact_jaccard_links(surfaces)
     return nodes_table(
         canonical_entities(surfaces, links, cc_fn=connected_components_star)
@@ -227,17 +233,29 @@ def q_dedup_admit(spark, sf_dir):
     pigeonhole band-recall argument in oracle.dedup_admit_sql)."""
     import tempfile
 
-    from gliner_spark.plans.incremental import dedup_admit_batch
+    from gliner_spark.plans.incremental import (
+        batch_minhash_signatures,
+        dedup_admit_batch,
+    )
 
     import shutil
 
     docs = _documents(spark, sf_dir)
     store = tempfile.mkdtemp(prefix="gs_admit_")
+    # both batches come from the SAME documents scan, so their
+    # signatures are computed in ONE shingle→MinHash pass over the full
+    # corpus and sliced by parity (guide §2.4; VERDICT r6 #3) — the old
+    # form ran the full pass once per batch. Signatures are
+    # per-document, so slicing the full table is value-identical to
+    # signaturing each slice; the store protocol (batch 2 admitted
+    # against batch 1's appended keepers) is sequential as before.
+    sig_all = batch_minhash_signatures(docs).localCheckpoint()
     try:
         out = []
         for batch, parity in ((1, 0), (2, 1)):
+            par = F.col("doc_id") % 2 == parity
             v = dedup_admit_batch(
-                docs.where(F.col("doc_id") % 2 == parity), store
+                docs.where(par), store, sig=sig_all.where(par)
             )
             out.append(v.select(
                 F.lit(batch).cast("long").alias("batch"),

@@ -207,6 +207,13 @@ def canonical_entities(
             "n_mentions",
             F.coalesce("component", "sid").alias("entity_id"),
         )
+        # materialized ONCE (guide §2.4): ``mapped`` feeds both the
+        # canonical-surface derivation and the final join — without
+        # pinning, each branch re-runs the surfaces aggregation (a full
+        # pass over mentions) and the component join. Surface-universe-
+        # sized (vocabulary-bounded), so the pin is tiny at any corpus
+        # scale.
+        .localCheckpoint()
     )
     canon = mapped.where(F.col("sid") == F.col("entity_id")).select(
         F.col("entity_id").alias("ce_id"),

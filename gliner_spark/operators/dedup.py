@@ -328,10 +328,15 @@ def paragraph_dedup(
     else:
         segs = F.split(F.col(text_col), delimiter)
         joiner = delimiter
-    paras = docs.select(
+    # ensure_parallelism: a small local parquet arrives as ONE split,
+    # which would run the explode + both map sides single-threaded
+    # (guide §2.5 input skew; no-op on a real multi-split scan).
+    # localCheckpoint: ``paras`` feeds the first-occurrence aggregation
+    # AND the flag join — one explode pass instead of two.
+    paras = ensure_parallelism(docs).select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.posexplode(segs).alias("idx", "para"),
-    )
+    ).localCheckpoint()
     firsts = paras.groupBy("para").agg(
         F.min(F.struct("doc_id", "idx")).alias("first")
     )
@@ -445,14 +450,23 @@ def minhash_dups(
     assert n_perms % bands == 0
     rows = n_perms // bands
     docs = ensure_parallelism(docs)
+    # materialized ONCE (guide §2.4): the shingle table feeds the
+    # signature aggregation AND both sides of the final exact verify;
+    # the signature table feeds the band explode, the bucket guard and
+    # both sides of the band join. Without pinning, the r6 plan scanned
+    # documents.parquet SIX times and ran the full shingle → explode →
+    # 128-min aggregation three times (plans/r07/dedup_minhash_before:
+    # 6 Scan parquet nodes) — measured as the bulk of dedup_minhash.
     sh = docs.select(
         F.col(id_col).cast("long").alias("sid"),
         word_shingles(F.col(text_col), k).alias("sh"),
-    ).select("sid", "sh", F.size("sh").alias("n_sh"))
+    ).select("sid", "sh", F.size("sh").alias("n_sh")).localCheckpoint()
     hashed = sh.select(
         "sid", F.explode(hash_shingles(F.col("sh"))).alias("h")
     )
-    sig = minhash_signature_agg(hashed, ["sid"], n_perms, seed)
+    sig = minhash_signature_agg(
+        hashed, ["sid"], n_perms, seed
+    ).localCheckpoint()
     # band keys only — the candidate join must not drag the shingle
     # arrays through its shuffle (they rejoin below, candidate set ≪ docs)
     banded = sig.select(
@@ -644,7 +658,15 @@ def simhash_dups(
     blocking (any pair with distance ≤ 6 shares ≥ 1 of 4 exact bands
     unless all differing bits spread 3+ bands; recall measured in tests).
     """
-    sig = simhash_signatures(docs, id_col, text_col, hash_family)
+    # materialized ONCE (guide §2.4): the signature table feeds the band
+    # explode, whose three consumers (bucket guard, join sides a and b)
+    # otherwise each re-ran the scan + token-hash + vote mapInPandas —
+    # the r6 plan carried three MapInPandas nodes over four parquet
+    # scans (plans/r07/dedup_simhash_before) for one Python stage's
+    # worth of work. The checkpoint holds (doc_id, simhash) ints only.
+    sig = simhash_signatures(
+        docs, id_col, text_col, hash_family
+    ).localCheckpoint()
     # band_bits=8 → 8 bands: a pair with Hamming ≤ 6 almost always leaves
     # ≥1 of 8 bytes identical; at web scale prefer band_bits=16 (4 bands,
     # max_hamming≈3) — byte-bands collide too often on 10^12 docs. The

@@ -195,7 +195,14 @@ def cosine_links_md5(
     no accumulation-order hazard for the oracle comparison). Everything
     is whole-stage codegen; the vector table is surface-universe-sized
     (vocabulary-bounded), so both joins broadcast at any corpus scale."""
-    vec = md5_gram_vectors(surfaces, dim=dim, k=k)
+    # materialized ONCE (guide §2.4): the sparse vector table is
+    # referenced FOUR times below (va, vb, and the two norm sides) and
+    # every reference otherwise re-runs the gram explode + md5 +
+    # bucket-vote aggregation — each of which itself re-aggregates the
+    # full mentions table into surfaces. The r6 plan for kg_links_cosine
+    # carried 59 Exchange nodes for this reason. The table is
+    # surface-universe-sized (vocabulary-bounded), so the pin is tiny.
+    vec = md5_gram_vectors(surfaces, dim=dim, k=k).localCheckpoint()
     norm = vec.groupBy("sid").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
     )

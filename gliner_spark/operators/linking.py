@@ -124,9 +124,15 @@ def exact_jaccard_links(
     sh = surfaces.withColumn("sh", char_shingles(F.col("surface"), k)).select(
         "sid", "label", "sh", F.size("sh").alias("n_sh")
     )
+    # materialized ONCE (guide §2.4): the inverted index feeds the
+    # bucket-guard aggregation and BOTH sides of the pair self-join —
+    # without pinning each of those branches re-runs the upstream
+    # surfaces aggregation (a full pass over the mentions table) plus
+    # the shingle explode, 4× total. The index is surface-universe-
+    # sized (vocabulary-bounded), never corpus-sized.
     exploded = sh.select(
         "sid", "label", "n_sh", F.explode("sh").alias("shingle")
-    )
+    ).localCheckpoint()
     pairs = _pair_counts(exploded, max_bucket)
     return pairs.select(
         "src",
@@ -215,9 +221,15 @@ def _banded_signatures(
     sh = surfaces.withColumn("sh", char_shingles(F.col("surface"), k)).select(
         "sid", "label", "surface", "sh", F.size("sh").alias("n_sh")
     )
+    # materialized ONCE (guide §2.4): the signature table is consumed by
+    # the bucket-guard aggregation and the pruned join side in lsh_links
+    # (and once in lsh_dropped_buckets) — each reference otherwise
+    # re-runs the surfaces aggregation over the full mentions table plus
+    # the shingle + 64-permutation MinHash expressions. The table is
+    # surface-universe-sized (vocabulary-bounded).
     sig = sh.withColumn("hx", hash_shingles(F.col("sh"))).withColumn(
         "sig", minhash_signature(F.col("hx"), n_perms, seed)
-    ).drop("hx")
+    ).drop("hx").localCheckpoint()
     return sig.select(
         "sid",
         "label",

@@ -54,6 +54,11 @@ def brute_force_topk(
     """(query_id, rank, neighbor_id, sim): exact top-k neighbors by
     cosine for each query id (queries drawn from the corpus itself;
     self-matches excluded)."""
+    from .util import ensure_parallelism
+
+    # single-split local parquet → the broadcast-join + cosine fold
+    # would run on ONE core (guide §2.5; no-op on a multi-split scan)
+    embeddings = ensure_parallelism(embeddings)
     corpus = embeddings.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("v"),
@@ -141,6 +146,11 @@ def hyperplane_lsh_topk(
     (neighbor cosine ≈ 0.4 → per-plane agreement ≈ 0.63 → recall ≈ 0.75);
     on real embedding corpora (neighbor cosine ≥ 0.8) raise n_bits to
     12-16 so buckets stay selective at 10^12 rows."""
+    from .util import ensure_parallelism
+
+    # single-split local parquet → the keys UDF, candidate join and
+    # re-rank would all run on ONE core (guide §2.5)
+    embeddings = ensure_parallelism(embeddings)
     corpus = embeddings.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("v"),
@@ -243,6 +253,12 @@ def ivf_topk(
     ``cell`` — never a cross product. Recall vs brute force is measured
     in tests; raise n_cells ∝ √n and keep n_probe/n_cells fixed at
     scale."""
+    from .util import ensure_parallelism
+
+    # single-split local parquet → the assignment mapInPandas and the
+    # per-iteration centroid aggregation would run on ONE core
+    # (guide §2.5)
+    embeddings = ensure_parallelism(embeddings)
     corpus = embeddings.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("v"),

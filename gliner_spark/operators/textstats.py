@@ -209,9 +209,17 @@ def bigram_lm_scores(
     """
     k = float(k_smooth)
     words = F.split(F.col(text_col), " ")
-    base = docs.select(
+    # ensure_parallelism: a single-split local parquet would otherwise
+    # run every map side (bigram explode, vocab explode, scoring) on
+    # one core (guide §2.5; no-op on a multi-split scan).
+    # localCheckpoint: ``base`` — the split token arrays — feeds the
+    # bigram explode, the vocabulary count and the no-bigram branch;
+    # pinning it scans + splits the corpus once instead of three times.
+    from .util import ensure_parallelism
+
+    base = ensure_parallelism(docs).select(
         F.col(id_col).cast("long").alias("doc_id"), words.alias("w")
-    )
+    ).localCheckpoint()
     # guard: sequence(0, -1) would DESCEND in Spark, not return empty
     pairs = F.when(
         F.size("w") >= 2,
@@ -229,7 +237,14 @@ def bigram_lm_scores(
     bigram_counts = bi.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
     )
-    head_counts = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # head counts derived from the bigram table, not a second full
+    # explode pass (guide §2.3/§2.4): c(w1·) — the number of bigrams
+    # headed by w1 — is exactly Σ_w2 c(w1, w2), so aggregating the
+    # (vocabulary-bounded) bigram count table replaces a second
+    # corpus-wide explode + shuffle with a V²-row aggregation
+    head_counts = bigram_counts.groupBy("w1").agg(
+        F.sum("c12").alias("c1")
+    )
     vocab = base.select(F.explode("w").alias("t")).agg(
         F.countDistinct("t").alias("v")
     )
@@ -249,16 +264,27 @@ def bigram_lm_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("nll"), 4).alias("avg_nll"),
     )
-    return (
-        base.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_bigrams", F.lit(0)).cast("long")
-            .alias("n_bigrams"),
-            "avg_nll",
-        )
+    # union instead of the old base-left-join-per_doc (guide §2.4): the
+    # docs missing from per_doc are EXACTLY those with < 2 tokens (they
+    # produce zero bigram rows), so their (0, NULL) rows are emitted
+    # from a row-local filter and the corpus-sized sort-merge join on
+    # doc_id disappears. Null/empty text splits to size < 2 either way,
+    # matching the old join's NULL → (0, NULL) path.
+    no_bigrams = base.where(
+        # NULL text → split gives NULL → size comparison is NULL; the
+        # old left join kept such docs as (0, NULL), so the coalesce
+        # keeps them on this branch too
+        ~F.coalesce(F.size("w") >= 2, F.lit(False))
+    ).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(None).cast("double").alias("avg_nll"),
     )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "avg_nll",
+    ).unionByName(no_bigrams)
 
 
 # PII patterns kept in the RE2 ∩ Java-regex subset (no lookaround), so

@@ -222,9 +222,20 @@ def dedup_admit_batch(
     seed: int = 11,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Admit a new crawl batch against an append-only MinHash signature
     store — the incremental form of ``minhash_dups`` + keeper choice.
+
+    ``sig`` optionally supplies the batch's precomputed signatures
+    (``batch_minhash_signatures`` with the same k/n_perms/seed over
+    exactly ``new_docs``) — the caller-side optimization for admitting
+    several batches drawn from ONE source scan: signature the source
+    once, slice per batch, and each admission skips its own
+    shingle→MinHash pass (guide §2.4; the store protocol — batch N
+    sees batch N−1's appended keepers — is unchanged). Signatures are
+    per-document, so a slice of the full-corpus signature table is
+    value-identical to signaturing the slice.
 
     At 10^12 admitted documents a new batch must not re-read, let alone
     re-shingle, the corpus. The store persists ONE fixed-width
@@ -258,8 +269,11 @@ def dedup_admit_batch(
     rows = n_perms // bands
     assert bands * rows == n_perms
 
-    sig_new = batch_minhash_signatures(
-        new_docs, k, n_perms, seed, id_col, text_col
+    sig_new = (
+        sig if sig is not None
+        else batch_minhash_signatures(
+            new_docs, k, n_perms, seed, id_col, text_col
+        )
     ).localCheckpoint()  # referenced by band join, verify, store append
     try:
         sig_old = spark.read.parquet(store_dir).select("doc_id", "sig")
