@@ -40,9 +40,22 @@ SEP = "\x1f"
 
 def md5h(*cols: Column | str) -> Column:
     """60-bit non-negative int from md5 of the SEP-joined columns —
-    bit-identical to DuckDB's ('0x' || substr(md5(x),1,15))::BIGINT."""
-    joined = F.concat_ws(SEP, *[F.col(c).cast("string") if isinstance(c, str)
-                                else c.cast("string") for c in cols])
+    bit-identical to DuckDB's ('0x' || substr(md5(x),1,15))::BIGINT.
+
+    NULL inputs are coalesced to a sentinel (\\x1e) BEFORE joining
+    (r6 ADVICE): ``concat_ws`` silently SKIPS null columns, so a null
+    pred (or entity) would collapse distinct keys onto each other and
+    diverge from a ``||``-based SQL twin where NULL propagates. A
+    DuckDB twin over nullable inputs must COALESCE to the same
+    sentinel (chr(30)); the existing twins run on non-null columns,
+    where the coalesce is a no-op."""
+    joined = F.concat_ws(SEP, *[
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"),
+            F.lit("\x1e"),
+        )
+        for c in cols
+    ])
     return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
 
 

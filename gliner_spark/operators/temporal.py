@@ -141,9 +141,18 @@ def asof_join(
     )
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_tag")
+        .orderBy("_ts", "_tag", F.xxhash64("_rp"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # tie rule (r6 ADVICE): several right rows sharing the same
+    # (key, right_ts) previously carried whichever payload happened to
+    # sort last — nondeterministic across runs/partitionings. The
+    # xxhash64 of the packed payload pins the order: the carried row is
+    # the one whose payload hash is LARGEST among the tied snapshots
+    # (arbitrary but stable and engine-reproducible). Left rows all
+    # hash the NULL struct to one constant, and their relative order
+    # within a tie cannot change their carried match (no right row
+    # sorts between them).
     out_cols = [key] + [c for c in left.columns if c != key]
     carried = packed_right.unionByName(packed_left).withColumn(
         "_match", F.last("_rp", ignorenulls=True).over(w)

@@ -18,9 +18,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# scheme://HOST[/...] — host = authority up to the first slash.
-# RE2 ∩ Java-regex subset (no lookaround) so DuckDB runs it verbatim.
-_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)"
+# scheme://HOST[:port][/...?...#...] — host = authority up to the first
+# '/', ':', '?' or '#' (r6 ADVICE: the old [^/]+ capture swallowed
+# ports and, for path-less URLs, the query/fragment into ``host``,
+# corrupting host_stats grouping and cap_per_host keys for those
+# shapes). RE2 ∩ Java-regex subset (no lookaround) so DuckDB runs it
+# verbatim.
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+# full authority up to the first slash — what path extraction strips
+# (keeps ':8080' or '?q=1' out of the path segments)
+_AUTH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*"
 
 
 def url_host(url_col):
@@ -34,7 +41,7 @@ def with_url_parts(
     """Add (host, tld, path_depth) columns. path_depth counts the
     non-empty path segments after the authority."""
     u = F.col(url_col)
-    path = F.regexp_replace(u, _HOST_RE, "")
+    path = F.regexp_replace(u, _AUTH_RE, "")
     return pages.withColumns({
         "host": url_host(u),
         "tld": F.regexp_extract(url_host(u), r"\.([^.]+)$", 1),

@@ -436,3 +436,34 @@ def test_link_prediction_hub_cap_audited_subset(spark):
     assert exact[(1, 2)] == 2  # via hub 0 AND via center 7
     assert capped == {(1, 2): 1, (0, 7): 2}
     assert all(k in exact for k in capped)
+
+
+def test_asof_join_tied_right_timestamps_deterministic(spark):
+    """r6 ADVICE: several right rows sharing (key, right_ts) must carry
+    a DETERMINISTIC payload — the one with the largest xxhash64 of the
+    packed payload struct (pinned tie rule), identical across runs and
+    input orders."""
+    from pyspark.sql import functions as F
+
+    from gliner_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u", "2024-05-01 12:00:00")], "url string, warc_ts string"
+    ).select("url", F.to_timestamp("warc_ts").alias("warc_ts"))
+    right_rows = [
+        ("u", "2024-05-01 00:00:00", v) for v in (3, 1, 2)
+    ]
+    outs = set()
+    for order in (right_rows, right_rows[::-1]):
+        right = spark.createDataFrame(
+            order, "url string, published string, ver int"
+        ).select(
+            "url", F.to_timestamp("published").alias("published"), "ver"
+        )
+        r = asof_join(
+            left, right, key="url", left_ts="warc_ts",
+            right_ts="published",
+        ).collect()[0]
+        outs.add(r.ver)
+    # same carried version regardless of right-side input order
+    assert len(outs) == 1

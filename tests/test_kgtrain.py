@@ -137,3 +137,24 @@ def test_negative_sample_excludes_true_edges(spark, edges):
     a = sorted(map(tuple, neg.collect()))
     b = sorted(map(tuple, negative_sample(edges, k=2, buckets=8).collect()))
     assert a == b
+
+
+def test_md5h_null_inputs_do_not_collide(spark):
+    """r6 ADVICE: concat_ws SKIPS nulls, so a null pred used to
+    collapse distinct keys (e.g. (1, NULL, 2x) vs (1, NULL2, x...)).
+    md5h now coalesces each input to a sentinel, so null-bearing keys
+    stay distinct from each other and from their concatenated lookalikes."""
+    from pyspark.sql import functions as F
+
+    from gliner_spark.operators.kgtrain import md5h
+
+    rows = spark.createDataFrame(
+        [
+            (1, None, "ax"),
+            (1, "a", "x"),   # old concat_ws would join both to "1\x1fa\x1fx"-like keys
+            (1, None, "bx"),
+        ],
+        "s long, p string, o string",
+    ).select(md5h("s", "p", "o").alias("h")).collect()
+    hashes = [r.h for r in rows]
+    assert len(set(hashes)) == 3

@@ -152,7 +152,7 @@ def test_webstats_host_ops_match_duckdb_twin(spark):
     oracle = {r[0]: r[1:] for r in con.execute(f"""
 WITH h AS (
   SELECT lower(regexp_extract(url,
-           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)) AS host,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
          length(text) AS chars, lang,
          string_split(text, ' ') AS w
   FROM p
@@ -190,7 +190,7 @@ FROM q GROUP BY host""").fetchall()}
     ducked = {r[0] for r in con.execute(f"""
 WITH h AS (
   SELECT url, lower(regexp_extract(url,
-           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)) AS host,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
          string_split(text, ' ') AS w
   FROM p
 ),
@@ -216,3 +216,37 @@ SELECT url FROM r WHERE rn <= 3""").fetchall()}
     assert "host" in enriched.columns
     assert {r.url for r in enriched.collect()} == capped
     pages.unpersist()
+
+
+def test_webstats_url_parts_port_query_fragment(spark):
+    """r6 ADVICE: the host capture must stop at ':', '?' and '#', not
+    just '/': path-less URLs were swallowing the query/fragment into
+    ``host`` and ports corrupted the tld — pinned here for every shape,
+    including that the port/query never leaks into path_depth."""
+    from gliner_spark.operators.webstats import with_url_parts
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com?q=1",),
+            ("https://a.com#frag",),
+            ("https://a.com:8080/x",),
+            ("https://a.com:8080",),
+            ("https://b.example.org/x/y?q=1",),
+            ("https://plain.net",),
+        ],
+        "url string",
+    )
+    got = {
+        r.url: (r.host, r.tld, r.path_depth)
+        for r in with_url_parts(pages).collect()
+    }
+    assert got == {
+        "https://a.com?q=1": ("a.com", "com", 0),
+        "https://a.com#frag": ("a.com", "com", 0),
+        "https://a.com:8080/x": ("a.com", "com", 1),
+        "https://a.com:8080": ("a.com", "com", 0),
+        # query after a path segment stays in that segment (the split
+        # is on '/', matching the DuckDB twin), so depth counts it once
+        "https://b.example.org/x/y?q=1": ("b.example.org", "org", 2),
+        "https://plain.net": ("plain.net", "net", 0),
+    }
