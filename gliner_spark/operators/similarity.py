@@ -154,7 +154,10 @@ def hyperplane_lsh_topk(
     corpus = embeddings.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("v"),
-    )
+    # materialized ONCE (guide §2.4): corpus feeds the bucket pass, the
+    # candidate re-rank join and the query-vector broadcast — three
+    # scan+cast+repartition passes otherwise
+    ).localCheckpoint()
     keys = _bucket_keys_udf(dim, n_bits, n_tables, seed)
     # ids only through the explode/join/dedup shuffles — vectors join
     # back AFTER the candidate set is deduped (pairs are 16 bytes, a
@@ -262,7 +265,10 @@ def ivf_topk(
     corpus = embeddings.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("v"),
-    )
+    # materialized ONCE (guide §2.4): corpus is re-read by the seed
+    # collect, every Lloyd iteration's assignment, the final assignment
+    # and the query collect — 5+ scan+cast+repartition passes otherwise
+    ).localCheckpoint()
     # deterministic seed centroids: the n_cells lowest-id vectors
     seed_rows = corpus.orderBy("neighbor_id").limit(n_cells).collect()
     centroids = np.stack([np.asarray(r.v, dtype=np.float64)
@@ -460,35 +466,43 @@ def embedding_dup_pairs_lsh(
     from .util import ensure_parallelism
 
     # a small local parquet arrives as ONE split; without this the
-    # keys UDF + bucket scoring run single-threaded
+    # keys UDF + bucket scoring run single-threaded. Materialized ONCE:
+    # the raw vectors feed the bucket pass AND both exact-re-rank join
+    # sides below (three scan+repartition passes otherwise).
     raw = ensure_parallelism(embeddings).select(
         F.col(id_col).cast("long").alias("nid"),
         F.col(vec_col).alias("vraw"),
-    )
+    ).localCheckpoint()
     # keys sees float32 input; np.asarray(·, float64) widens exactly, so
     # bucket assignment is bit-identical to the old double-cast column
     keys = _bucket_keys_udf(dim, n_bits, n_tables, seed)
-    # materialize ONCE: the bucket table is referenced by the guard
-    # aggregation and the scoring join and would otherwise re-run the
-    # scan + keys UDF per reference; it holds only (id, tbl, bucket)
-    # ints — signature-sized, never document-sized
-    buckets = raw.select(
-        "nid", F.posexplode(keys(F.col("vraw"))).alias("tbl", "bucket")
-    ).localCheckpoint()
-    guard = (
-        buckets.groupBy("tbl", "bucket")
+    # vectors ride the explode directly (r7, guide §2.3/§2.4): the
+    # bucket universe is n_tables·2^n_bits ≤ a few hundred keys BY
+    # CONSTRUCTION, so the skew guard output always broadcasts and the
+    # guard join adds NO shuffle — the corpus vectors cross exactly ONE
+    # exchange (the per-bucket grouping), float32-narrow. The previous
+    # form checkpointed an ids-only bucket table and re-attached
+    # vectors with an equi-join on nid, which shuffled the bucket rows
+    # AND the vector table a second time; that join only pays off when
+    # the guard actually drops mega-buckets, which at these settings
+    # it never does. (The guard pass recomputes the keys UDF — one
+    # 20k×(tables·bits) matmul, trivial next to a shuffle — and
+    # Catalyst prunes vraw out of its aggregation.)
+    bucketed = raw.select(
+        "nid", "vraw",
+        F.posexplode(keys(F.col("vraw"))).alias("tbl", "bucket"),
+    )
+    guard = F.broadcast(
+        raw.select(
+            "nid", F.posexplode(keys(F.col("vraw"))).alias("tbl", "bucket")
+        )
+        .groupBy("tbl", "bucket")
         .agg(F.count(F.lit(1)).alias("bn"))
         .where((F.col("bn") > 1) & (F.col("bn") <= max_bucket))
         .select("tbl", "bucket")
     )
-    pruned = buckets.join(guard, ["tbl", "bucket"])
-    # vectors attach to kept bucket members float32-narrow (guide §2.3:
-    # half the shuffle bytes of the double form; widened exactly inside
-    # the scoring UDF), then one (tbl, bucket) shuffle feeds the
-    # per-bucket matmul tasks
-    bucketed = pruned.join(raw, "nid")
     cand = _bucket_pair_candidates(
-        bucketed, threshold
+        bucketed.join(guard, ["tbl", "bucket"]), threshold
     ).dropDuplicates(["src", "dst"])
     corpus = raw.select("nid", _as_double(F.col("vraw")).alias("v"))
     va = corpus.select(F.col("nid").alias("src"), F.col("v").alias("va"))

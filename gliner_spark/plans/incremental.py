@@ -189,14 +189,19 @@ def batch_minhash_signatures(
     per admitted doc. Band keys are DERIVED from the signature, so the
     store needs no shingles, no text, no band columns."""
     from ..operators.dedup import word_shingles
-    from ..operators.linking import hash_shingles, minhash_signature_agg
+    from ..operators.linking import hash_shingles, minhash_signature_map
     from ..operators.util import ensure_parallelism
 
+    # row-local form (guide §4.2): shingle-hash arrays stay JVM-side
+    # (xxhash64 + pmod, codegen), the 128-permutation min runs as ONE
+    # vectorized Arrow stage — no explode, no aggregation shuffle.
+    # Value-identical to the old explode + minhash_signature_agg plan
+    # (shared perm_params; equality pinned in tests).
     hashed = ensure_parallelism(docs).select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(hash_shingles(word_shingles(F.col(text_col), k))).alias("h"),
+        hash_shingles(word_shingles(F.col(text_col), k)).alias("hx"),
     )
-    return minhash_signature_agg(hashed, ["doc_id"], n_perms, seed)
+    return minhash_signature_map(hashed, n_perms, seed, id_col="doc_id")
 
 
 def _band_keys(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
@@ -311,9 +316,13 @@ def dedup_admit_batch(
     )
 
     # the skew guard sees combined bucket populations (a band bucket
-    # hot across store+batch is hot, whichever side the rows are on)
+    # hot across store+batch is hot, whichever side the rows are on).
+    # bnp is materialized ONCE (guide §2.4): it feeds the new-vs-old
+    # join and BOTH sides of the new-vs-new self-join, and every
+    # reference otherwise re-runs the guard aggregation over the
+    # combined store+batch band keys. (id, band) ints only.
     g = guard(bn.unionByName(bo))
-    bnp = bn.join(g, ["band_idx", "band_hash"])
+    bnp = bn.join(g, ["band_idx", "band_hash"]).localCheckpoint()
 
     # new-vs-old: every band collision against the store. src != dst
     # keeps a RETRIED batch sane: a doc already admitted under its own
@@ -358,6 +367,11 @@ def dedup_admit_batch(
                        F.col("new_group")),
             ).alias("dup_of"),
         )
+        # materialized ONCE (guide §2.4): verdict0 is both the probe
+        # side and the keeper-resolution target of the one-hop rewrite
+        # below — without pinning, the whole new-vs-old verify pipeline
+        # runs twice. One row per batch doc.
+        .localCheckpoint()
     )
     # dup_of must point at a KEEPER in one hop (docstring contract).
     # The one way it wouldn't: a new-vs-new component whose minimum doc

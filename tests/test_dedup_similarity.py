@@ -189,14 +189,31 @@ def test_ngram_prefix_dropped_buckets_audit(spark):
     gate = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     assert ngram_prefix_dropped_buckets(gate, k=3, threshold=0.8) == 0
 
-    # adversarial corpus: every doc's sorted shingle set STARTS with
-    # the same hot token ("aa" sorts first). The qualifying pair
-    # (100, 101) = {aa,b,y,z} vs {aa,c,y,z}: J = 3/5 = 0.6 ≥ t, n=4 →
-    # prefix length 2 → prefixes [aa,b] and [aa,c] — their ONLY shared
-    # prefix shingle is the hot "aa", so capping its bucket misses the
-    # pair that the uncapped oracle keeps.
-    docs = [(i, "aa " + f"u{i} v{i} w{i}") for i in range(30)]
-    docs += [(100, "aa b y z"), (101, "aa c y z")]
+    # adversarial corpus for the r7 HASH order (the AllPairs order is
+    # now the xxhash64 value order, so "sorts first" means "hashes
+    # lowest"): rank candidate tokens by their xxhash64 and build every
+    # doc around the globally minimum-hashing token ``hot``. The
+    # qualifying pair (100, 101) = {hot,b,y,z} vs {hot,c,y,z}
+    # (J = 3/5 = 0.6 ≥ t, n=4 → prefix length 2) gets prefixes
+    # {hot,b} and {hot,c} — b and c hash just above hot, y/z at the
+    # top — so their ONLY shared prefix shingle is the hot bucket, and
+    # capping it misses the pair the uncapped oracle keeps.
+    from pyspark.sql import functions as F
+
+    cand_toks = [f"t{i}" for i in range(120)]
+    ranked = [
+        r.t for r in spark.createDataFrame(
+            [(t,) for t in cand_toks], "t string"
+        ).select("t", F.xxhash64("t").alias("h")).orderBy("h").collect()
+    ]
+    hot, b, c = ranked[0], ranked[1], ranked[2]
+    y, z = ranked[-2], ranked[-1]
+    mids = ranked[3:-2]
+    docs = [
+        (i, f"{hot} {mids[3 * i]} {mids[3 * i + 1]} {mids[3 * i + 2]}")
+        for i in range(30)
+    ]
+    docs += [(100, f"{hot} {b} {y} {z}"), (101, f"{hot} {c} {y} {z}")]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     t = 0.6
     assert ngram_prefix_dropped_buckets(df, k=1, threshold=t,

@@ -285,3 +285,33 @@ def test_lsh_cosine_links_on_mentions(spark):
     assert ("concept:big data", "concept:data") in pairs or (
         "concept:data", "concept:big data"
     ) in pairs
+
+
+def test_minhash_signature_map_equals_agg(spark):
+    """The row-local numpy signature stage must be value-identical to
+    the explode + n_perms-min aggregation it replaced (shared
+    perm_params; int64 no-overflow + numpy %% == pmod argument in the
+    docstring) — pinned over the gate corpus with both id types."""
+    from pyspark.sql import functions as F
+
+    from gliner_spark.operators.dedup import word_shingles
+    from gliner_spark.operators.linking import (
+        hash_shingles,
+        minhash_signature_agg,
+        minhash_signature_map,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hx = docs.select(
+        F.col("doc_id").cast("long").alias("sid"),
+        hash_shingles(word_shingles(F.col("text"), 3)).alias("hx"),
+    )
+    got = {r.sid: list(r.sig)
+           for r in minhash_signature_map(hx, 128, 11).collect()}
+    want = {
+        r.sid: list(r.sig)
+        for r in minhash_signature_agg(
+            hx.select("sid", F.explode("hx").alias("h")), ["sid"], 128, 11
+        ).collect()
+    }
+    assert got == want and len(got) == docs.count()

@@ -164,11 +164,13 @@ def main() -> int:
     )
 
     # 8b. incremental admission scale shape, structurally: (a) the
-    # signature pass is pure Catalyst with ONE data shuffle (the
-    # map-side-combined 128-min agg — only id→mins cross the wire),
-    # (b) the persisted store schema is exactly (doc_id, sig): the
-    # state a 10^12-doc admission re-reads carries no text by
-    # CONSTRUCTION, not by pruning
+    # signature pass is row-local — shingle hashing stays JVM-side and
+    # the 128-permutation min runs in ONE vectorized Arrow stage
+    # (r7: replaced the explode + map-side-combined min agg; zero
+    # shuffle now, and the Arrow stage is the guide-§4.2 batch-numpy
+    # pattern, not a row-at-a-time UDF), (b) the persisted store schema
+    # is exactly (doc_id, sig): the state a 10^12-doc admission
+    # re-reads carries no text by CONSTRUCTION, not by pruning
     import tempfile
 
     from pyspark.sql import functions as _F
@@ -180,10 +182,11 @@ def main() -> int:
 
     p = executed_plan_of(batch_minhash_signatures(docs.limit(50)))
     bad += not check(
-        "batch_minhash_signatures (one agg shuffle, no Python)",
+        "batch_minhash_signatures (row-local Arrow stage, no shuffle, "
+        "no row-at-a-time Python)",
         p,
-        {"ArrowEvalPython": False, "BatchEvalPython": False,
-         "MapInPandas": False, "partial_min": True},
+        {"BatchEvalPython": False, "MapInPandas": True,
+         "Exchange hashpartitioning": False},
     )
     import shutil
 
