@@ -156,8 +156,9 @@ def hyperplane_lsh_topk(
         _as_double(F.col(vec_col)).alias("v"),
     # materialized ONCE (guide §2.4): corpus feeds the bucket pass, the
     # candidate re-rank join and the query-vector broadcast — three
-    # scan+cast+repartition passes otherwise
-    ).localCheckpoint()
+    # scan+cast+repartition passes otherwise (persist, not
+    # localCheckpoint: lazy, so no extra eager job — see ivf_topk)
+    ).persist()
     keys = _bucket_keys_udf(dim, n_bits, n_tables, seed)
     # ids only through the explode/join/dedup shuffles — vectors join
     # back AFTER the candidate set is deduped (pairs are 16 bytes, a
@@ -267,8 +268,12 @@ def ivf_topk(
         _as_double(F.col(vec_col)).alias("v"),
     # materialized ONCE (guide §2.4): corpus is re-read by the seed
     # collect, every Lloyd iteration's assignment, the final assignment
-    # and the query collect — 5+ scan+cast+repartition passes otherwise
-    ).localCheckpoint()
+    # and the query collect — 5+ scan+cast+repartition passes
+    # otherwise. persist (lazy) rather than localCheckpoint: the first
+    # action populates the cache, so no extra eager job is paid —
+    # measured as a fixed ~0.2 s/pin that outweighed the savings at
+    # the small default scale factor.
+    ).persist()
     # deterministic seed centroids: the n_cells lowest-id vectors
     seed_rows = corpus.orderBy("neighbor_id").limit(n_cells).collect()
     centroids = np.stack([np.asarray(r.v, dtype=np.float64)
