@@ -274,12 +274,17 @@ def dedup_admit_batch(
     rows = n_perms // bands
     assert bands * rows == n_perms
 
+    # referenced by band join, both verify sides and the store append —
+    # materialized once. A caller-provided ``sig`` slice is re-pinned
+    # too: skipping its checkpoint was measured ~1 s SLOWER per
+    # admission (six filter-rescans of the full-corpus signature
+    # checkpoint beat one slice materialization).
     sig_new = (
         sig if sig is not None
         else batch_minhash_signatures(
             new_docs, k, n_perms, seed, id_col, text_col
         )
-    ).localCheckpoint()  # referenced by band join, verify, store append
+    ).localCheckpoint()
     try:
         sig_old = spark.read.parquet(store_dir).select("doc_id", "sig")
     except Exception:  # first batch: empty store
@@ -351,7 +356,14 @@ def dedup_admit_batch(
         .dropDuplicates(["src", "dst"])
     )
     vs_new = verify(nn_cand, sig_new, sig_new)
-    comp = connected_components_auto(vs_new, "src", "dst").select(
+    # size_hint=0: the new-vs-new duplicate pair set is output-sized
+    # (≪ batch), so hint the driver union-find path — this skips the
+    # probe's persist/unpersist round trip (one less barrier per
+    # admission). The hint is safe by construction: the collect keeps
+    # its limit(threshold+1) guard, and the distributed fallback only
+    # re-executes a pipeline that reads from this batch's checkpoints.
+    comp = connected_components_auto(vs_new, "src", "dst",
+                                     size_hint=0).select(
         F.col("node").alias("doc_id"), F.col("component").alias("new_group")
     )
 
