@@ -361,7 +361,14 @@ def paragraph_dedup(
     # which would run the explode + both map sides single-threaded
     # (guide §2.5 input skew; no-op on a real multi-split scan).
     # localCheckpoint: ``paras`` feeds the first-occurrence aggregation
-    # AND the flag join — one explode pass instead of two.
+    # AND the flag join — one explode pass instead of two (measured
+    # 1.3-1.5× at 50k docs). NOTE this pin is CORPUS-sized, unlike the
+    # signature/vocab-sized pins elsewhere: the trade is one
+    # write+2-read round trip through executor storage (spilling to
+    # local disk past memory) against a second full scan+split+explode
+    # — favorable while local disks out-bandwidth the source store; on
+    # a deployment where the source scan is cheaper than local
+    # materialization, drop the checkpoint and pay the recompute.
     paras = ensure_parallelism(docs).select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.posexplode(segs).alias("idx", "para"),

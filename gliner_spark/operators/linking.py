@@ -208,7 +208,11 @@ def minhash_signature_map(hashed: DataFrame, n_perms: int, seed: int = 7,
     perms = perm_params(n_perms, seed)
     pa = np.array([p[0] for p in perms], dtype=np.int64)
     pb = np.array([p[1] for p in perms], dtype=np.int64)
-    CHUNK = 262_144  # flat hashes per workspace (~256 MB at 128 perms)
+    # flat hashes per workspace chunk: bounds the (CHUNK × n_perms)
+    # int64 buffer at ~64 MB for 128 perms PER TASK — sized for
+    # cores-per-executor concurrent tasks inside a few-GB Python
+    # overhead budget (guide §5), not for this sandbox's headroom
+    CHUNK = 65_536
 
     def run(batches):
         for pdf in batches:
